@@ -1,0 +1,684 @@
+"""lxml-style element tree with text/tail semantics + an HTML5-lite parser.
+
+This is the in-kernel document model for the PySpark extraction engine.
+The reference implementation (go-trafilatura) emulates Python lxml's
+text/tail model on top of Go's x/net/html DOM
+(see /root/reference/internal/etree/element.go:96,138); we implement the
+same model natively.  All whitespace-producing functions (``iter_text``)
+follow the reference semantics exactly
+(/root/reference/internal/etree/element.go:221-249) because the bytes of
+the extracted text depend on them.
+
+No third-party HTML parser exists in this runtime, so parsing is done
+with ``html.parser.HTMLParser`` plus a tree-construction layer that
+covers the HTML5 behaviours the extraction cascade relies on: implied
+html/head/body, void elements, auto-closing p/li/dd/dt/tr/td/th/option,
+raw-text script/style, comment nodes and entity decoding.
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+
+COMMENT = "#comment"
+DOCUMENT = "#document"
+
+# HTML void elements (cannot have children) — mirrors dom.IsVoidElement.
+VOID_ELEMENTS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+# Start tags that implicitly close an open <p> (HTML5 "in body" rules).
+_P_CLOSERS = frozenset(
+    (
+        "address article aside blockquote center details dialog dir div dl "
+        "fieldset figcaption figure footer form h1 h2 h3 h4 h5 h6 header "
+        "hgroup hr main menu nav ol p plaintext pre section summary table ul "
+        "li dd dt"
+    ).split()
+)
+
+# Elements whose start tag closes a same-group open element.
+_SIBLING_CLOSERS = {
+    "li": ("li",),
+    "dd": ("dd", "dt"),
+    "dt": ("dd", "dt"),
+    "tr": ("tr", "td", "th"),
+    "td": ("td", "th"),
+    "th": ("td", "th"),
+    "option": ("option",),
+    "optgroup": ("option", "optgroup"),
+}
+
+# Scope barriers: auto-close search never crosses these.
+_SCOPE_BARRIERS = frozenset(
+    "html body table td th caption marquee object template".split()
+)
+
+_HEAD_ONLY = frozenset(
+    "title base basefont bgsound link meta style".split()
+)
+
+
+class Element:
+    """One HTML element. ``text`` is the text before the first child,
+    ``tail`` is the text between this element's end tag and the next
+    sibling (the lxml model)."""
+
+    __slots__ = ("tag", "attrib", "text", "tail", "children", "parent")
+
+    def __init__(self, tag: str, attrib: dict | None = None):
+        self.tag = tag
+        self.attrib = attrib if attrib is not None else {}
+        self.text = ""
+        self.tail = ""
+        self.children: list[Element] = []
+        self.parent: Element | None = None
+
+    # -- convenience ------------------------------------------------------
+    def get(self, key: str, default: str = "") -> str:
+        return self.attrib.get(key, default)
+
+    def set(self, key: str, value: str) -> None:
+        self.attrib[key] = value
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return f"<Element {self.tag} attrib={self.attrib} text={self.text!r}>"
+
+
+def new_element(tag: str) -> Element:
+    return Element(tag)
+
+
+def sub_element(parent: Element, tag: str) -> Element:
+    el = Element(tag)
+    el.parent = parent
+    parent.children.append(el)
+    return el
+
+
+def is_void(el: Element) -> bool:
+    return el.tag in VOID_ELEMENTS
+
+
+def is_comment(el: Element) -> bool:
+    return el.tag == COMMENT
+
+
+# ---------------------------------------------------------------------------
+# Tree accessors (mirror go-shiori/dom + internal/etree helpers)
+# ---------------------------------------------------------------------------
+
+def children_of(el: Element) -> list[Element]:
+    """Element children only (dom.Children) — comments excluded."""
+    return [c for c in el.children if c.tag != COMMENT]
+
+
+def has_child_nodes(el: Element) -> bool:
+    """True if the element has any child node (text or element),
+    mirroring len(dom.ChildNodes(el)) > 0."""
+    return bool(el.children) or el.text != ""
+
+
+def iter_all(root: Element, *tags: str) -> list[Element]:
+    """etree.Iter — self + descendants in document order, optionally
+    filtered by tag (self included only when it matches / no tags given).
+    Reference: internal/etree/element.go:31-77."""
+    out: list[Element] = []
+    tagset = frozenset(tags)
+    if not tagset:
+        stack = [root]
+        while stack:
+            node = stack.pop()
+            if node.tag != COMMENT:
+                out.append(node)
+            stack.extend(reversed(node.children))
+        return out
+    if root.tag in tagset:
+        out.append(root)
+    _collect_tags(root, tagset, out)
+    return out
+
+
+def _collect_tags(el: Element, tagset: frozenset, out: list) -> None:
+    for child in el.children:
+        if child.tag in tagset:
+            out.append(child)
+        _collect_tags(child, tagset, out)
+
+
+def iter_descendants(root: Element, *tags: str) -> list[Element]:
+    """etree.IterDescendants — like iter_all but excludes self.
+    Reference: internal/etree/element.go:80-92."""
+    lst = iter_all(root, *tags)
+    if lst and lst[0] is root:
+        return lst[1:]
+    return lst
+
+
+def get_elements_by_tag(root: Element, tag: str) -> list[Element]:
+    """dom.GetElementsByTagName — descendants only (root excluded)."""
+    out: list[Element] = []
+    if tag == "*":
+        stack = list(reversed(root.children))
+        while stack:
+            node = stack.pop()
+            if node.tag != COMMENT:
+                out.append(node)
+            stack.extend(reversed(node.children))
+        return out
+    _collect_tags(root, frozenset((tag,)), out)
+    return out
+
+
+def set_text(el: Element, text: str) -> None:
+    if el is None or is_void(el):
+        return
+    el.text = text
+
+
+def set_tail(el: Element, tail: str) -> None:
+    if el is None or el.parent is None or is_void(el.parent):
+        return
+    el.tail = tail
+
+
+def text_content(el: Element) -> str:
+    """dom.TextContent — all text in the subtree, concatenated, no
+    separators; comments skipped."""
+    parts: list[str] = []
+    _collect_text(el, parts)
+    return "".join(parts)
+
+
+def _collect_text(el: Element, parts: list[str]) -> None:
+    if el.tag == COMMENT:
+        return
+    if el.text:
+        parts.append(el.text)
+    for child in el.children:
+        _collect_text(child, parts)
+        if child.tail:
+            parts.append(child.tail)
+
+
+def prev_element_sibling(el: Element) -> Element | None:
+    if el.parent is None:
+        return None
+    prev = None
+    for sib in el.parent.children:
+        if sib is el:
+            return prev
+        if sib.tag != COMMENT:
+            prev = sib
+    return None
+
+
+def next_element_sibling(el: Element) -> Element | None:
+    if el.parent is None:
+        return None
+    seen = False
+    for sib in el.parent.children:
+        if seen and sib.tag != COMMENT:
+            return sib
+        if sib is el:
+            seen = True
+    return None
+
+
+def clone(el: Element, deep: bool = True) -> Element:
+    """dom.Clone — the clone is detached: no parent and no tail (in the
+    DOM model a tail is a sibling text node and never travels with the
+    node)."""
+    dup = Element(el.tag, dict(el.attrib))
+    if deep:
+        dup.text = el.text
+        for child in el.children:
+            cc = _clone_with_tail(child)
+            cc.parent = dup
+            dup.children.append(cc)
+    return dup
+
+
+def _clone_with_tail(el: Element) -> Element:
+    dup = Element(el.tag, dict(el.attrib))
+    dup.text = el.text
+    dup.tail = el.tail
+    for child in el.children:
+        cc = _clone_with_tail(child)
+        cc.parent = dup
+        dup.children.append(cc)
+    return dup
+
+
+def replace_content(dst: Element, src: Element) -> None:
+    """Equivalent of Go's ``*doc = *docBackup`` — replace dst's identity
+    in place with src's content."""
+    dst.tag = src.tag
+    dst.attrib = dict(src.attrib)
+    dst.text = src.text
+    dst.children = src.children
+    for child in dst.children:
+        child.parent = dst
+
+
+def _merge_text_before(el: Element, text: str) -> None:
+    """Attach ``text`` at el's current position (used when a node is
+    removed but its text must stay put, DOM-style)."""
+    if not text:
+        return
+    parent = el.parent
+    if parent is None:
+        return
+    idx = parent.children.index(el)
+    if idx > 0:
+        parent.children[idx - 1].tail += text
+    else:
+        parent.text += text
+
+
+def remove(el: Element, keep_tail: bool = False) -> None:
+    """etree.Remove — detach element; tail text is dropped unless
+    keep_tail (then it stays in place, merged into the previous node).
+    Reference: internal/etree/etree.go:73-85."""
+    parent = el.parent
+    if parent is None:
+        return
+    if keep_tail and el.tail:
+        _merge_text_before(el, el.tail)
+    parent.children.remove(el)
+    el.parent = None
+    el.tail = ""
+
+
+def strip_element(el: Element) -> None:
+    """etree.Strip — remove the element but merge its text and children
+    into the parent at its position. Tail stays in place.
+    Reference: internal/etree/etree.go:89-102."""
+    parent = el.parent
+    if parent is None:
+        return
+    idx = parent.children.index(el)
+    # Text before first child merges into previous position
+    new_children = el.children
+    lead_text = el.text
+    tail_text = el.tail
+    if lead_text:
+        if idx > 0:
+            parent.children[idx - 1].tail += lead_text
+        else:
+            parent.text += lead_text
+    if tail_text:
+        if new_children:
+            new_children[-1].tail += tail_text
+        elif lead_text and idx > 0:
+            parent.children[idx - 1].tail += tail_text
+        elif lead_text:
+            parent.text += tail_text
+        elif idx > 0:
+            parent.children[idx - 1].tail += tail_text
+        else:
+            parent.text += tail_text
+    parent.children[idx : idx + 1] = new_children
+    for child in new_children:
+        child.parent = parent
+    el.parent = None
+    el.children = []
+    el.tail = ""
+
+
+def strip_tags(tree: Element, *tags: str) -> None:
+    """etree.StripTags — drop the tags, keep content (merged up).
+    Reference: internal/etree/etree.go:46-54."""
+    for tag in tags:
+        for el in reversed(get_elements_by_tag(tree, tag)):
+            strip_element(el)
+
+
+def strip_elements(tree: Element, keep_tail: bool, *tags: str) -> None:
+    """etree.StripElements — drop tags with their whole subtree.
+    Reference: internal/etree/etree.go:60-68."""
+    for tag in tags:
+        for el in reversed(get_elements_by_tag(tree, tag)):
+            remove(el, keep_tail)
+
+
+def append(node: Element, sub: Element) -> None:
+    """etree.Append — move sub (with its tail) into node.
+    Reference: internal/etree/element.go:195-205."""
+    if node is None or sub is None:
+        return
+    if sub.parent is not None:
+        sub.parent.children.remove(sub)
+    sub.parent = node
+    node.children.append(sub)
+
+
+def extend(node: Element, subelements: list[Element]) -> None:
+    for sub in subelements:
+        append(node, sub)
+
+
+def append_child(parent: Element, child: Element) -> None:
+    """dom.AppendChild — move the node only; its tail text stays at the
+    old position (DOM semantics: tails are sibling text nodes)."""
+    if child.parent is not None:
+        if child.tail:
+            _merge_text_before(child, child.tail)
+            child.tail = ""
+        child.parent.children.remove(child)
+    child.parent = parent
+    parent.children.append(child)
+
+
+def replace_child(parent: Element, new_child: Element, old_child: Element) -> None:
+    """dom.ReplaceChild — swap in place; old child's tail stays."""
+    idx = parent.children.index(old_child)
+    new_child.tail = old_child.tail
+    new_child.parent = parent
+    old_child.parent = None
+    old_child.tail = ""
+    parent.children[idx] = new_child
+
+
+def iter_text(node: Element, separator: str) -> str:
+    """etree.IterText — flatten all text, inserting ``separator`` when
+    the element nesting level changes and at void elements; the result
+    is stripped.  This function defines the whitespace of the extracted
+    text: byte parity depends on it.
+    Reference: internal/etree/element.go:221-249."""
+    if node is None:
+        return ""
+    buf: list[str] = []
+    last_level = 0
+
+    # Emulate the DOM traversal: an element's text/child tails are text
+    # nodes one level below the element itself.
+    def finder(el: Element, level: int) -> None:
+        nonlocal last_level
+        if el.tag == COMMENT:
+            # Comment nodes emit nothing but still update the level tracker,
+            # exactly like the reference traversal.
+            last_level = level
+            return
+        if el.tag in VOID_ELEMENTS:
+            buf.append(separator)
+        last_level = level
+        child_level = level + 1
+        if el.text:
+            if child_level != last_level:
+                buf.append(separator)
+            buf.append(el.text)
+            last_level = child_level
+        for child in el.children:
+            finder(child, child_level)
+            if child.tail:
+                if child_level != last_level:
+                    buf.append(separator)
+                buf.append(child.tail)
+                last_level = child_level
+
+    finder(node, 0)
+    return "".join(buf).strip()
+
+
+def tostring(tree: Element) -> str:
+    """Serialize an element (without its tail) to HTML."""
+    if tree is None:
+        return ""
+    out: list[str] = []
+    _serialize(tree, out)
+    return "".join(out)
+
+
+def inner_html(el: Element) -> str:
+    out: list[str] = []
+    if el.text:
+        out.append(_escape_text(el.text))
+    for child in el.children:
+        _serialize(child, out)
+        if child.tail:
+            out.append(_escape_text(child.tail))
+    return "".join(out)
+
+
+_ESCAPES = {"&": "&amp;", "<": "&lt;", ">": "&gt;"}
+
+
+def _escape_text(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def _escape_attr(s: str) -> str:
+    return s.replace("&", "&amp;").replace('"', "&quot;")
+
+
+def _serialize(el: Element, out: list[str]) -> None:
+    if el.tag == COMMENT:
+        out.append(f"<!--{el.text}-->")
+        return
+    attrs = "".join(f' {k}="{_escape_attr(v)}"' for k, v in el.attrib.items())
+    if el.tag in VOID_ELEMENTS:
+        out.append(f"<{el.tag}{attrs}/>")
+        return
+    out.append(f"<{el.tag}{attrs}>")
+    if el.tag in ("script", "style"):
+        out.append(el.text)
+    elif el.text:
+        out.append(_escape_text(el.text))
+    for child in el.children:
+        _serialize(child, out)
+        if child.tail:
+            out.append(_escape_text(child.tail))
+    out.append(f"</{el.tag}>")
+
+
+# ---------------------------------------------------------------------------
+# HTML parsing (HTML5-lite tree construction)
+# ---------------------------------------------------------------------------
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = Element(DOCUMENT)
+        self.html = Element("html")
+        self.html.parent = self.root
+        self.root.children.append(self.html)
+        self.head = Element("head")
+        self.head.parent = self.html
+        self.html.children.append(self.head)
+        self.body = Element("body")
+        self.body.parent = self.html
+        self.html.children.append(self.body)
+        self.stack: list[Element] = []  # open elements below body
+        self.in_body = False
+
+    # -- helpers ----------------------------------------------------------
+    def _current(self) -> Element:
+        if self.stack:
+            return self.stack[-1]
+        return self.body if self.in_body else self.head
+
+    def _append_text(self, data: str, target: Element | None = None) -> None:
+        el = target if target is not None else self._current()
+        if el.children:
+            el.children[-1].tail += data
+        else:
+            el.text += data
+
+    def _close_upto(self, targets: tuple, stops: tuple) -> None:
+        for i in range(len(self.stack) - 1, -1, -1):
+            t = self.stack[i].tag
+            if t in targets:
+                del self.stack[i:]
+                return
+            if t in stops:
+                return
+
+    def _autoclose(self, tag: str) -> None:
+        if tag in _P_CLOSERS:
+            self._close_upto(("p",), tuple(_SCOPE_BARRIERS))
+        if tag == "tr":
+            self._close_upto(("tr",), ("table",))
+        elif tag in ("td", "th"):
+            self._close_upto(("td", "th"), ("table", "tr"))
+        elif tag == "li":
+            self._close_upto(("li",), ("ul", "ol", "table"))
+        elif tag in ("dd", "dt"):
+            self._close_upto(("dd", "dt"), ("dl", "table"))
+        elif tag == "option":
+            self._close_upto(("option",), ("select", "table"))
+        elif tag == "optgroup":
+            self._close_upto(("optgroup",), ("select", "table"))
+        elif tag in ("thead", "tbody", "tfoot"):
+            self._close_upto(("thead", "tbody", "tfoot"), ("table",))
+
+    # -- HTMLParser callbacks ----------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        attrib: dict[str, str] = {}
+        for k, v in attrs:
+            if k not in attrib:
+                attrib[k] = v if v is not None else ""
+        if tag == "html":
+            for k, v in attrib.items():
+                self.html.attrib.setdefault(k, v)
+            return
+        if tag == "head":
+            for k, v in attrib.items():
+                self.head.attrib.setdefault(k, v)
+            return
+        if tag == "body":
+            self.in_body = True
+            for k, v in attrib.items():
+                self.body.attrib.setdefault(k, v)
+            return
+        if not self.in_body and tag in _HEAD_ONLY:
+            el = Element(tag, attrib)
+            el.parent = self.head
+            self.head.children.append(el)
+            if tag not in VOID_ELEMENTS:
+                self.stack.append(el)
+            return
+        if not self.in_body and tag in ("script", "style", "noscript", "template"):
+            el = Element(tag, attrib)
+            el.parent = self.head
+            self.head.children.append(el)
+            self.stack.append(el)
+            return
+        self.in_body = True
+        self._autoclose(tag)
+        parent = self._current()
+        el = Element(tag, attrib)
+        el.parent = parent
+        parent.children.append(el)
+        if tag not in VOID_ELEMENTS:
+            self.stack.append(el)
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        if tag in VOID_ELEMENTS:
+            self.handle_starttag(tag, attrs)
+        else:
+            # HTML5: "/>" on a non-void element is just a start tag
+            self.handle_starttag(tag, attrs)
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in ("html", "head"):
+            return
+        if tag == "body":
+            self.stack.clear()
+            self.in_body = True
+            return
+        for i in range(len(self.stack) - 1, -1, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                return
+        # ignore unmatched end tag
+
+    def handle_data(self, data: str) -> None:
+        if not self.in_body and not self.stack:
+            if data.strip() == "":
+                return
+            self.in_body = True
+        self._append_text(data)
+
+    def handle_comment(self, data: str) -> None:
+        parent = self._current()
+        el = Element(COMMENT)
+        el.text = data
+        el.parent = parent
+        parent.children.append(el)
+
+    def handle_decl(self, decl: str) -> None:  # doctype — ignore
+        pass
+
+    def handle_pi(self, data: str) -> None:  # processing instruction — ignore
+        pass
+
+    def unknown_decl(self, data: str) -> None:
+        pass
+
+
+def parse_html(data: bytes | str) -> Element:
+    """Parse an HTML document → #document root containing html>head+body.
+
+    Equivalent entry point to dom.Parse at /root/reference/core.go:73.
+    """
+    if isinstance(data, (bytes, bytearray)):
+        text = _decode_html_bytes(bytes(data))
+    else:
+        text = data
+    builder = _TreeBuilder()
+    try:
+        builder.feed(text)
+        builder.close()
+    except Exception:
+        # html.parser is resilient, but guard anyway: return what we have
+        pass
+    return builder.root
+
+
+def _decode_html_bytes(raw: bytes) -> str:
+    """Best-effort charset sniffing: BOM > meta charset > utf-8 > latin-1."""
+    if raw.startswith(b"\xef\xbb\xbf"):
+        return raw[3:].decode("utf-8", "replace")
+    if raw.startswith(b"\xff\xfe"):
+        return raw.decode("utf-16-le", "replace")
+    if raw.startswith(b"\xfe\xff"):
+        return raw.decode("utf-16-be", "replace")
+    head = raw[:2048].lower()
+    enc = None
+    idx = head.find(b"charset=")
+    if idx >= 0:
+        val = head[idx + 8 : idx + 40].strip(b'"\' ')
+        end = min(
+            (val.find(c) for c in (b'"', b"'", b" ", b"/", b">") if val.find(c) >= 0),
+            default=len(val),
+        )
+        enc = val[:end].decode("ascii", "ignore") or None
+    for candidate in (enc, "utf-8", "latin-1"):
+        if not candidate:
+            continue
+        try:
+            return raw.decode(candidate)
+        except (LookupError, UnicodeDecodeError):
+            continue
+    return raw.decode("utf-8", "replace")
+
+
+def body_of(root: Element) -> Element | None:
+    """Find the <body> element under a document root."""
+    if root.tag == "body":
+        return root
+    found = get_elements_by_tag(root, "body")
+    return found[0] if found else None
+
+
+def from_string(html_str: str) -> Element | None:
+    """etree.FromString — parse a fragment, return the first body child.
+    Reference: internal/etree/etree.go:131-139."""
+    root = parse_html(html_str)
+    body = body_of(root)
+    if body is None:
+        return None
+    kids = children_of(body)
+    return clone(kids[0], True) if kids else None

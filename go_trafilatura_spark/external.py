@@ -1,0 +1,234 @@
+"""Fallback candidate arbitration + a built-in readability-style scorer.
+
+Transcribed semantics from /root/reference/external.go:38-242. The
+reference delegates to go-readability / go-domdistiller; those are whole
+libraries, so here (per SURVEY.md §7.4) the built-in candidate is a
+compact readability-style scorer (class/link-density weighted), and
+callers may inject their own candidate trees via
+``options.fallback_candidates`` (a list of Elements), mirroring
+``Options.FallbackCandidates.Others``.
+"""
+
+from __future__ import annotations
+
+import re
+
+from . import etree, selectors
+from .etree import Element
+from .htmlprocessing import doc_cleaning, prune_unwanted_nodes
+from .options import FAVOR_PRECISION, FAVOR_RECALL
+from .settings import VALID_TAG_CATALOG
+from .utils import trim
+
+TAGS_TO_SANITIZE = frozenset(
+    (
+        "aside audio button fieldset figure footer iframe "
+        "input label link nav noindex noscript "
+        "object option select source svg time"
+    ).split()
+)
+
+
+def compare_external_extraction(
+    original_doc: Element, extracted_doc: Element, extracted_text: str, options
+) -> tuple[Element, str]:
+    """external.go:50-101."""
+    extracted_text = trim(etree.iter_text(extracted_doc, " "))
+    len_extracted = len(extracted_text)
+    if options.focus == FAVOR_RECALL and len_extracted > options.config.min_extracted_size * 10:
+        return extracted_doc, extracted_text
+
+    cleaned_doc = etree.clone(original_doc, True)
+    if options.focus == FAVOR_PRECISION:
+        cleaned_doc = prune_unwanted_nodes(cleaned_doc, selectors.OVERALL_DISCARDED_CONTENT)
+
+    for candidate_doc in _candidates(cleaned_doc, options):
+        if candidate_doc is None:
+            continue
+        candidate_text = trim(etree.iter_text(candidate_doc, " "))
+        len_candidate = len(candidate_text)
+
+        if candidate_is_usable(candidate_doc, extracted_doc, len_candidate, len_extracted, options):
+            extracted_doc, len_extracted = candidate_doc, len_candidate
+
+        if len_extracted >= options.config.min_extracted_size:
+            break
+
+    sanitize_tree(extracted_doc, options)
+    extracted_text = trim(etree.iter_text(extracted_doc, " "))
+    return extracted_doc, extracted_text
+
+
+def _candidates(cleaned_doc: Element, options):
+    """external.go:103-161 — user candidates first, then the built-in
+    readability-style scorer."""
+    if options.fallback_candidates:
+        for candidate in options.fallback_candidates:
+            if candidate is not None:
+                yield candidate
+    yield readability_candidate(cleaned_doc)
+
+
+def candidate_is_usable(
+    candidate_doc: Element, extracted_doc: Element,
+    len_candidate: int, len_extracted: int, options,
+) -> bool:
+    """external.go:164-202."""
+    if len_candidate == 0 or len_candidate == len_extracted:
+        usable = False
+    elif len_extracted == 0 and len_candidate > 0:
+        usable = True
+    elif len_extracted > 2 * len_candidate:
+        usable = False
+    elif len_candidate > 2 * len_extracted:
+        usable = True
+    else:
+        heads = etree.get_elements_by_tag(extracted_doc, "head")
+        tables = etree.get_elements_by_tag(extracted_doc, "table")
+        paragraphs = etree.get_elements_by_tag(extracted_doc, "p")
+        headings = [
+            el for tag in ("h2", "h3", "h4")
+            for el in etree.get_elements_by_tag(candidate_doc, tag)
+        ]
+
+        p_text_length = sum(len(trim(etree.iter_text(p, " "))) for p in paragraphs)
+
+        if p_text_length == 0 and len_candidate > options.config.min_extracted_size * 2:
+            usable = True
+        elif len(tables) > len(paragraphs) and len_candidate > options.config.min_extracted_size * 2:
+            usable = True
+        elif (
+            options.focus == FAVOR_RECALL and not heads and headings
+            and len_candidate > len_extracted
+        ):
+            usable = True
+        else:
+            usable = False
+
+    must_favor_recall = (
+        len_extracted < options.config.min_extracted_size and options.focus == FAVOR_RECALL
+    )
+    return usable or must_favor_recall
+
+
+def sanitize_tree(tree: Element, options) -> None:
+    """external.go:206-242."""
+    doc_cleaning(tree, options)
+
+    for el in reversed(etree.get_elements_by_tag(tree, "*")):
+        if el.tag in TAGS_TO_SANITIZE and el.parent is not None:
+            el.parent.children.remove(el)
+            el.parent = None
+
+    if not options.include_links:
+        etree.strip_tags(tree, "a")
+    etree.strip_tags(tree, "span")
+
+    sanitization_list = []
+    seen = set()
+    for node in etree.get_elements_by_tag(tree, "*"):
+        tag = node.tag
+        if tag in seen:
+            continue
+        seen.add(tag)
+        if tag not in VALID_TAG_CATALOG:
+            sanitization_list.append(tag)
+    if sanitization_list:
+        etree.strip_tags(tree, *sanitization_list)
+
+
+# ---------------------------------------------------------------------------
+# Built-in readability-style candidate (original design, ~arc90 heuristics)
+# ---------------------------------------------------------------------------
+
+_POSITIVE = re.compile(
+    r"(?i)article|body|content|entry|hentry|h-entry|main|page|pagination|post|text|blog|story"
+)
+_NEGATIVE = re.compile(
+    r"(?i)-ad-|hidden|banner|combx|comment|com-|contact|foot|footer|footnote|gdpr|"
+    r"masthead|media|meta|outbrain|promo|related|scroll|share|shoutbox|sidebar|"
+    r"skyscraper|sponsor|shopping|tags|tool|widget"
+)
+_SCORE_TAGS = frozenset("p pre td blockquote".split())
+_DIV_BLOCK_CHILDREN = frozenset(
+    "a blockquote dl div img ol p pre table ul select".split()
+)
+
+
+def readability_candidate(doc: Element) -> Element | None:
+    """arc90-style scorer shaped like go-readability's output: a <div>
+    page wrapper holding the top candidate (divs without block children
+    are first converted to <p>, empty paragraphs are dropped)."""
+    body = etree.body_of(doc)
+    if body is None:
+        return None
+    work = etree.clone(body, True)
+
+    # div → p transform for divs with no block-level children
+    for el in reversed(etree.get_elements_by_tag(work, "div")):
+        if not any(c.tag in _DIV_BLOCK_CHILDREN for c in etree.children_of(el)):
+            el.tag = "p"
+
+    def class_weight(el: Element) -> float:
+        w = 0.0
+        idclass = el.get("class") + " " + el.get("id")
+        if _NEGATIVE.search(idclass):
+            w -= 25
+        if _POSITIVE.search(idclass):
+            w += 25
+        return w
+
+    scores: dict[int, float] = {}
+    by_id: dict[int, Element] = {}
+    for el in etree.get_elements_by_tag(work, "*"):
+        if el.tag not in _SCORE_TAGS:
+            continue
+        text = trim(etree.text_content(el))
+        if len(text) < 25:
+            continue
+        score = 1.0 + text.count(",") + min(len(text) / 100.0, 3.0)
+        parent = el.parent
+        if parent is not None:
+            pid = id(parent)
+            if pid not in scores:
+                scores[pid] = class_weight(parent)
+                by_id[pid] = parent
+            scores[pid] += score
+            grand = parent.parent
+            if grand is not None:
+                gid = id(grand)
+                if gid not in scores:
+                    scores[gid] = class_weight(grand)
+                    by_id[gid] = grand
+                scores[gid] += score / 2.0
+
+    top: Element | None = None
+    if scores:
+        best_id, best_score = None, float("-inf")
+        for pid, score in scores.items():
+            el = by_id[pid]
+            text = trim(etree.text_content(el))
+            link_text = sum(
+                len(trim(etree.text_content(a)))
+                for a in etree.get_elements_by_tag(el, "a")
+            )
+            density = (link_text / len(text)) if text else 1.0
+            adjusted = score * (1.0 - density)
+            if adjusted > best_score:
+                best_id, best_score = pid, adjusted
+        if best_id is not None and best_score > 0:
+            top = by_id[best_id]
+
+    out = etree.new_element("div")
+    if top is None or top is work:
+        for child in list(work.children):
+            etree.append(out, child)
+    else:
+        etree.append(out, top)
+
+    # readability's empty-paragraph cleanup
+    for p in reversed(etree.get_elements_by_tag(out, "p")):
+        if trim(etree.text_content(p)) == "" and not etree.get_elements_by_tag(p, "img"):
+            etree.remove(p)
+
+    return out

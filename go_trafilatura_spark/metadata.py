@@ -1,0 +1,960 @@
+"""Metadata extraction cascade: meta tags → OpenGraph → JSON-LD → DOM
+selectors → URL/hostname → publish date (fast subset) → sitename →
+categories/tags → license.
+
+Transcribed semantics from /root/reference/metadata.go:121-774 and
+/root/reference/metadata-json.go:23-486. Publish-date extraction is a
+"fast mode" subset of go-htmldate (meta tags, <time> elements, JSON-LD,
+URL patterns) — Extensive mode's multilingual free-text parsing is out
+of scope (SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+import html as html_mod
+import json
+import re as stdlib_re
+from dataclasses import dataclass, field
+
+import regex
+
+from . import css, etree, selectors
+from .etree import Element
+from .htmlprocessing import prune_unwanted_nodes
+from .utils import (
+    get_base_url,
+    get_domain_url,
+    is_absolute_url,
+    str_or,
+    str_word_count,
+    trim,
+    uniquify_lists,
+    validate_url,
+)
+
+RX_COMMA_SEPARATOR = stdlib_re.compile(r"\s*[,;]\s*")
+RX_TITLE_CLEANER = stdlib_re.compile(r"(?i)^(.+)?\s+[–•·—|⁄*⋆~‹«<›»>:-]\s+(.+)$")
+RX_JSON_SYMBOL = stdlib_re.compile(r"[{\\}]")
+RX_NAME_JSON = stdlib_re.compile(r'(?i)"name\\?":\s*\\?"([^"\\]+)')
+RX_URL_CHECK = stdlib_re.compile(r"(?i)https?://")
+RX_SITENAME_FINDER = stdlib_re.compile(r"(?i)https?://(?:www\.|w[0-9]+\.)?([^/]+)")
+RX_HTML_STRIP_TAG = stdlib_re.compile(r"(?i)(<!--.*?-->|<[^>]*>)")
+RX_CATEGORY_HREF = stdlib_re.compile(r"(?i)/categor(?:y|ies)/")
+RX_TAG_HREF = stdlib_re.compile(r"(?i)/tags?/")
+
+RX_CC_LICENSE = stdlib_re.compile(
+    r"(?i)/(by-nc-nd|by-nc-sa|by-nc|by-nd|by-sa|by|zero)/([1-9]\.[0-9])"
+)
+RX_CC_LICENSE_TEXT = stdlib_re.compile(
+    r"(?i)(cc|creative commons) (by-nc-nd|by-nc-sa|by-nc|by-nd|by-sa|by|zero) ?([1-9]\.[0-9])?"
+)
+
+RX_AUTHOR_PREFIX = regex.compile(r"(?i)^([a-zäöüß]+(ed|t))? ?(written by|words by|words|by|von|from) ")
+RX_AUTHOR_DIGITS = regex.compile(r"(?i)\p{N}.+?$")
+RX_AUTHOR_SOCIAL = regex.compile(r"(?i)@\S+")
+RX_AUTHOR_SPACE_CHARS = regex.compile(r"(?i)[._+]")
+RX_AUTHOR_NICKNAME = regex.compile(r"(?i)[\"‘({\[’'][^\"]+?[‘’\"')\]}]")
+RX_AUTHOR_SPECIAL = regex.compile(r"(?i)[^\p{L}\p{M}\p{N}_]+$|[:()?*$#!%/<>{}~¿]")
+RX_AUTHOR_PREPOSITION = regex.compile(r"(?i)\b\s+(am|on|for|at|in|to|from|of|via|with|—|-|–)\s+(.*)")
+RX_AUTHOR_EMAIL = regex.compile(r"(?i)\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Z|a-z]{2,}\b")
+RX_AUTHOR_SEPARATOR = regex.compile(r"(?i)/|;|,|\||&|(?:^|[^\p{L}\p{M}\p{N}_])[u|a]nd(?:$|[^\p{L}\p{M}\p{N}_])")
+RX_AUTHOR_HTML = stdlib_re.compile(r"(?i)<[^>]+>")
+
+_EMOJI_RANGES = (
+    (0x1F000, 0x1FAFF), (0x2600, 0x27BF), (0x2B00, 0x2BFF),
+    (0xFE00, 0xFE0F), (0x1F1E6, 0x1F1FF), (0x2190, 0x21FF),
+    (0x2300, 0x23FF), (0x25A0, 0x25FF), (0x2000, 0x200F),
+)
+
+
+def remove_emojis(s: str) -> str:
+    return "".join(
+        ch for ch in s
+        if not any(lo <= ord(ch) <= hi for lo, hi in _EMOJI_RANGES)
+    )
+
+
+META_NAME_AUTHOR = frozenset((
+    "article:author", "atc-metaauthor", "author", "authors", "byl",
+    "citation_author", "creator", "dc.creator", "dc.creator.aut",
+    "dc:creator", "dcterms.creator", "dcterms.creator.aut", "dcsext.author",
+    "parsely-author", "rbauthors", "sailthru.author",
+    "shareaholic:article_author_name",
+))
+META_NAME_TITLE = frozenset((
+    "citation_title", "dc.title", "dcterms.title", "fb_title", "headline",
+    "parsely-title", "sailthru.title", "shareaholic:title", "rbtitle",
+    "title", "twitter:title",
+))
+META_NAME_DESCRIPTION = frozenset((
+    "dc.description", "dc:description", "dcterms.abstract",
+    "dcterms.description", "description", "sailthru.description",
+    "twitter:description",
+))
+META_NAME_PUBLISHER = frozenset((
+    "article:publisher", "citation_journal_title", "copyright",
+    "dc.publisher", "dc:publisher", "dcterms.publisher", "publisher",
+    "sailthru.publisher", "rbpubname", "twitter:site",
+))
+META_NAME_TAG = frozenset((
+    "citation_keywords", "dcterms.subject", "keywords", "parsely-tags",
+    "shareaholic:keywords", "tags",
+))
+META_NAME_IMAGE = frozenset((
+    "image", "og:image", "og:image:url", "og:image:secure_url",
+    "twitter:image", "twitter:image:src",
+))
+
+_URL_SELECTORS = (
+    'head link[rel="canonical"]',
+    "head base",
+    'head link[rel="alternate"][hreflang="x-default"]',
+)
+
+
+@dataclass
+class Metadata:
+    title: str = ""
+    author: str = ""
+    url: str = ""
+    hostname: str = ""
+    description: str = ""
+    sitename: str = ""
+    date: str = ""  # yyyy-MM-dd ("" = unknown; the Go zero time)
+    categories: list[str] = field(default_factory=list)
+    tags: list[str] = field(default_factory=list)
+    id: str = ""
+    fingerprint: str = ""
+    license: str = ""
+    language: str = ""
+    image: str = ""
+    page_type: str = ""
+
+
+def title_case(s: str) -> str:
+    """Approximation of x/text cases.Title(language.English): capitalize
+    the first letter of every word (UAX#29-ish: apostrophes inside words
+    don't split), lowercase the rest."""
+    out = []
+    new_word = True
+    for ch in s:
+        if ch.isalpha():
+            out.append(ch.upper() if new_word else ch.lower())
+            new_word = False
+        else:
+            if ch in "'’" and not new_word:
+                pass  # mid-word apostrophe keeps the word going
+            else:
+                new_word = True
+            out.append(ch)
+    return "".join(out)
+
+
+def validate_metadata_name(name: str) -> str:
+    """metadata.go:411-426."""
+    if name == "":
+        return name
+    if " " not in name or name.startswith("http"):
+        return ""
+    if RX_JSON_SYMBOL.search(name):
+        return ""
+    return name
+
+
+def normalize_authors(authors: str, input_str: str) -> str:
+    """metadata.go:686-749."""
+    if RX_URL_CHECK.search(input_str) or RX_AUTHOR_EMAIL.search(input_str):
+        return authors
+
+    s = trim(input_str)
+    s = html_mod.unescape(s)
+    s = remove_emojis(s)
+    s = RX_AUTHOR_DIGITS.sub("", s)
+    s = RX_AUTHOR_SOCIAL.sub("", s)
+    s = RX_AUTHOR_SPACE_CHARS.sub(" ", s)
+
+    if "&#" in s or "&amp;" in s:
+        s = html_mod.unescape(s)
+
+    s = RX_AUTHOR_HTML.sub("", s)
+
+    list_author = authors.split("; ")
+    if len(list_author) == 1 and list_author[0] == "":
+        list_author = []
+    tracker = set(list_author)
+
+    for a in RX_AUTHOR_SEPARATOR.split(s):
+        if a is None:
+            continue
+        a = RX_AUTHOR_NICKNAME.sub("", a)
+        a = RX_AUTHOR_SPECIAL.sub("", a)
+        a = RX_AUTHOR_PREFIX.sub("", a)
+        a = RX_AUTHOR_PREPOSITION.sub("", a)
+        a = trim(a)
+
+        length = len(a)
+        has_dash = "-" in a
+        has_space = " " in a
+        if length == 0 or (not has_dash and not has_space and length >= 50):
+            continue
+
+        if not a[0].isupper() or a.lower() == a:
+            a = title_case(a)
+
+        if a not in authors and a not in tracker:
+            tracker.add(a)
+            list_author.append(a)
+
+    return "; ".join(list_author)
+
+
+def remove_blacklisted_authors(current: str, options) -> str:
+    """metadata.go:751-774."""
+    if current == "":
+        return current
+    blacklisted = {b.lower() for b in options.blacklisted_authors}
+    allowed = [
+        a.strip() for a in current.split(";") if a.strip().lower() not in blacklisted
+    ]
+    if allowed:
+        return "; ".join(allowed)
+    return ""
+
+
+# ---------------------------------------------------------------------------
+# Meta tag examination (metadata.go:268-409)
+# ---------------------------------------------------------------------------
+
+_OG_SELECTOR = css.parse_group('meta[property^="og:"]')
+_HEAD_META_CONTENT = css.parse_group("head meta[content]")
+
+
+def extract_open_graph_meta(doc: Element) -> Metadata:
+    """metadata.go:368-409."""
+    metadata = Metadata()
+    for node in css.query_all(doc, _OG_SELECTOR):
+        prop = trim(node.get("property"))
+        content = trim(html_mod.unescape(node.get("content")))
+        if content == "":
+            continue
+        if prop == "og:site_name":
+            metadata.sitename = content
+        elif prop == "og:title":
+            metadata.title = content
+        elif prop == "og:description":
+            metadata.description = content
+        elif prop in ("og:author", "og:article:author"):
+            metadata.author = normalize_authors("", content)
+        elif prop in ("og:image", "og:image:url", "og:image:secure_url"):
+            metadata.image = content
+        elif prop == "og:url":
+            if is_absolute_url(content)[0]:
+                metadata.url = content
+        elif prop == "og:article:tag":
+            metadata.tags = uniquify_lists(content)
+        elif prop == "og:type":
+            metadata.page_type = content
+    return metadata
+
+
+def examine_meta(doc: Element) -> Metadata:
+    """metadata.go:268-365."""
+    metadata = extract_open_graph_meta(doc)
+    if (
+        metadata.title and metadata.author and metadata.url
+        and metadata.description and metadata.sitename and metadata.image
+        and metadata.page_type
+    ):
+        return metadata
+
+    tmp_sitename = ""
+    for node in css.query_all(doc, _HEAD_META_CONTENT):
+        content = node.get("content")
+        content = RX_HTML_STRIP_TAG.sub("", content)
+        content = html_mod.unescape(content)
+        content = trim(content)
+        if content == "":
+            continue
+
+        prop = trim(node.get("property"))
+        if prop != "":
+            if prop.startswith("og:"):
+                pass
+            elif prop == "article:tag":
+                metadata.tags.append(content)
+            elif prop in ("author", "article:author"):
+                metadata.author = normalize_authors(metadata.author, content)
+            elif prop == "article:publisher":
+                metadata.sitename = str_or(metadata.sitename, content)
+            elif prop in META_NAME_IMAGE:
+                metadata.image = str_or(metadata.image, content)
+            continue
+
+        name = trim(node.get("name").lower())
+        if name != "":
+            if name in META_NAME_AUTHOR:
+                content = RX_HTML_STRIP_TAG.sub("", content)
+                metadata.author = normalize_authors(metadata.author, content)
+            elif name in META_NAME_TITLE:
+                metadata.title = str_or(metadata.title, content)
+            elif name in META_NAME_DESCRIPTION:
+                metadata.description = str_or(metadata.description, content)
+            elif name in META_NAME_PUBLISHER:
+                metadata.sitename = str_or(metadata.sitename, content)
+            elif name in ("twitter:site", "application-name") or "twitter:app:name" in name:
+                tmp_sitename = content
+            elif name == "twitter:url":
+                if metadata.url == "" and is_absolute_url(content)[0]:
+                    metadata.url = content
+            elif name in META_NAME_TAG:
+                metadata.tags.append(content)
+            continue
+
+        itemprop = trim(node.get("itemprop"))
+        if itemprop != "":
+            if itemprop == "author":
+                metadata.author = normalize_authors(metadata.author, content)
+            elif itemprop == "description":
+                metadata.description = str_or(metadata.description, content)
+            elif itemprop == "headline":
+                metadata.title = str_or(metadata.title, content)
+            continue
+
+    if metadata.sitename == "" and tmp_sitename != "":
+        metadata.sitename = tmp_sitename
+
+    metadata.author = validate_metadata_name(metadata.author)
+    metadata.categories = uniquify_lists(*metadata.categories)
+    metadata.tags = uniquify_lists(*metadata.tags)
+    return metadata
+
+
+# ---------------------------------------------------------------------------
+# JSON-LD (metadata-json.go)
+# ---------------------------------------------------------------------------
+
+class SchemaData:
+    __slots__ = ("types", "data", "importance", "parent")
+
+    def __init__(self, types, data, parent):
+        self.types = types
+        self.data = data
+        self.importance = 0.0
+        self.parent = parent
+
+
+def get_string_values(obj: dict, key: str) -> list[str]:
+    value = obj.get(key)
+    if isinstance(value, str):
+        clean = trim(value)
+        return [clean] if clean else []
+    if isinstance(value, list):
+        out = []
+        for item in value:
+            if isinstance(item, str):
+                clean = trim(item)
+                if clean:
+                    out.append(clean)
+        return out
+    return []
+
+
+def get_single_string_value(obj: dict, key: str) -> str:
+    values = get_string_values(obj, key)
+    return values[0] if values else ""
+
+
+def get_schema_types(schema: dict, to_lower: bool) -> list[str]:
+    types = get_string_values(schema, "@type")
+    if to_lower:
+        types = [t.lower() for t in types]
+    return types
+
+
+def get_schema_names(v, *expected_types: str) -> list[str]:
+    """metadata-json.go:302-399."""
+    if isinstance(v, str):
+        parts = RX_NAME_JSON.search(v)
+        if RX_JSON_SYMBOL.search(v) and parts:
+            v = parts.group(1)
+        v = trim(v)
+        return [v] if v else []
+
+    if isinstance(v, dict):
+        schema_types = get_schema_types(v, True)
+        if expected_types:
+            if not schema_types:
+                return []
+            if not any(t in expected_types for t in schema_types):
+                return []
+
+        names = get_string_values(v, "name")
+
+        if not names and "person" in schema_types:
+            given = get_single_string_value(v, "givenName")
+            additional = get_single_string_value(v, "additionalName")
+            family = get_single_string_value(v, "familyName")
+            full = trim(given + " " + additional + " " + family)
+            names = [full]
+
+        if not names:
+            names = get_string_values(v, "legalName")
+        if not names:
+            names = get_string_values(v, "alternateName")
+        if names:
+            return names
+
+        child = v.get("name")
+        if isinstance(child, (dict, list)):
+            return get_schema_names(child, *expected_types)
+        return []
+
+    if isinstance(v, list):
+        names = []
+        for item in v:
+            names.extend(get_schema_names(item, *expected_types))
+        return names
+
+    return []
+
+
+def schema_in_article(data: SchemaData, wanted_type: str) -> bool:
+    """metadata-json.go:445-486."""
+    if data.parent is None:
+        return True
+
+    parent_is_person = False
+    parent_is_org = False
+    for st in data.parent.types:
+        st = st.lower()
+        parent_is_person = parent_is_person or st == "person"
+        parent_is_org = parent_is_org or st == "website" or "organization" in st
+
+    parent_types = data.parent.types
+    if (wanted_type == "person" and parent_is_person) or (
+        wanted_type == "organization" and parent_is_org
+    ):
+        if data.parent.parent is None:
+            return True
+        parent_types = data.parent.parent.types
+
+    for st in parent_types:
+        st = st.lower()
+        if (
+            "article" in st or "posting" in st or st == "report" or st == "blog"
+            or "page" in st or "listing" in st
+        ):
+            return True
+    return False
+
+
+_JSONLD_SELECTORS = css.parse_group(
+    'script[type="application/ld+json"], script[type="application/settings+json"]'
+)
+
+
+def decode_json_ld(doc: Element) -> tuple[list, list, list]:
+    """metadata-json.go:151-300."""
+    persons: list[SchemaData] = []
+    organizations: list[SchemaData] = []
+    articles: list[SchemaData] = []
+
+    def find_important(obj: dict, parent: SchemaData | None) -> None:
+        schema_types = get_schema_types(obj, False)
+
+        is_person = is_website = is_org = False
+        is_article = is_posting = is_report = is_blog = is_page = is_listing = False
+        for st in schema_types:
+            st = st.lower()
+            is_person = is_person or st == "person"
+            is_website = is_website or st == "website"
+            is_org = is_org or "organization" in st
+            is_article = is_article or "article" in st
+            is_posting = is_posting or "posting" in st
+            is_report = is_report or st == "report"
+            is_blog = is_blog or st == "blog"
+            is_page = is_page or "page" in st
+            is_listing = is_listing or "listing" in st
+
+        schema_data = SchemaData(schema_types, obj, parent)
+
+        if is_person:
+            persons.append(schema_data)
+        if is_website or is_org:
+            schema_data.importance = 2 if is_org else 1
+            organizations.append(schema_data)
+        if is_article or is_posting or is_report or is_blog or is_page or is_listing:
+            if is_article or is_posting or is_report:
+                schema_data.importance = 3
+            elif is_blog:
+                schema_data.importance = 2
+            else:
+                schema_data.importance = 1
+            articles.append(schema_data)
+
+        for value in obj.values():
+            if isinstance(value, dict):
+                find_important(value, schema_data)
+            elif isinstance(value, list):
+                for item in value:
+                    if isinstance(item, dict):
+                        find_important(item, schema_data)
+
+    for script in css.query_all(doc, _JSONLD_SELECTORS):
+        json_text = etree.text_content(script).strip()
+        json_text = html_mod.unescape(json_text)
+        if not json_text:
+            continue
+        try:
+            decoded = json.loads(json_text)
+        except ValueError:
+            continue
+        if isinstance(decoded, list):
+            data_list = [d for d in decoded if isinstance(d, dict)]
+            if len(data_list) != len(decoded):
+                continue
+        elif isinstance(decoded, dict):
+            data_list = [decoded]
+        else:
+            continue
+        for data in data_list:
+            find_important(data, None)
+
+    organizations.sort(key=lambda s: -s.importance)  # stable in Python
+    articles.sort(key=lambda s: -s.importance)
+
+    article_persons = [p for p in persons if schema_in_article(p, "person")]
+    if article_persons:
+        persons = article_persons
+
+    article_orgs = [o for o in organizations if schema_in_article(o, "organization")]
+    if article_orgs:
+        organizations = article_orgs
+
+    return persons, organizations, articles
+
+
+def extract_json_ld(options, doc: Element, original: Metadata) -> Metadata:
+    """metadata-json.go:23-149."""
+    metadata = Metadata()
+    persons, organizations, articles = decode_json_ld(doc)
+
+    for article in articles:
+        if metadata.author == "":
+            author_names = ""
+            for author in get_schema_names(article.data.get("author"), "person"):
+                author = validate_metadata_name(author)
+                author_names = normalize_authors(author_names, author)
+            if author_names != "":
+                metadata.author = author_names
+
+        if metadata.sitename == "":
+            sitenames = get_schema_names(article.data.get("publisher"))
+            if sitenames:
+                metadata.sitename = sitenames[0]
+
+        categories = get_string_values(article.data, "articleSection")
+        if categories:
+            metadata.categories.extend(categories)
+
+        tags = get_schema_names(article.data.get("keywords"))
+        if tags:
+            metadata.tags.extend(tags)
+
+        if metadata.title == "":
+            metadata.title = get_single_string_value(article.data, "name")
+
+        if metadata.title == "" or str_word_count(metadata.title) == 1:
+            for attr in article.data:
+                if "headline" not in attr.lower():
+                    continue
+                title = get_single_string_value(article.data, attr)
+                if title != "" and "..." not in title:
+                    metadata.title = title
+                    break
+
+        if metadata.page_type == "" and metadata.title != "" and article.types:
+            metadata.page_type = article.types[0]
+
+    if metadata.author == "":
+        author_names = ""
+        for person in persons:
+            for name in get_schema_names(person.data):
+                name = validate_metadata_name(name)
+                author_names = normalize_authors(author_names, name)
+        if author_names != "":
+            metadata.author = author_names
+
+    if metadata.sitename == "":
+        names = []
+        for org in organizations:
+            for name in get_schema_names(org.data):
+                name = validate_metadata_name(name)
+                if name != "":
+                    names.append(name)
+        if names:
+            metadata.sitename = "; ".join(names)
+
+    if metadata.page_type == "" and articles and articles[0].types:
+        metadata.page_type = articles[0].types[0]
+
+    metadata.tags = uniquify_lists(*metadata.tags)
+    metadata.categories = uniquify_lists(*metadata.categories)
+
+    original.title = str_or(original.title, metadata.title)
+    original.page_type = str_or(original.page_type, metadata.page_type)
+    original.author = str_or(metadata.author, original.author)
+    if metadata.categories:
+        original.categories = metadata.categories
+    if metadata.tags:
+        original.tags = metadata.tags
+    if len(metadata.sitename) > len(original.sitename):
+        original.sitename = metadata.sitename
+
+    return original
+
+
+# ---------------------------------------------------------------------------
+# DOM-based extraction (metadata.go:428-684)
+# ---------------------------------------------------------------------------
+
+def examine_title_element(doc: Element) -> tuple[str, str, str]:
+    """metadata.go:428-442."""
+    title = first = second = ""
+    title_node = None
+    for head in etree.get_elements_by_tag(doc, "head"):
+        for child in etree.children_of(head):
+            if child.tag == "title":
+                title_node = child
+                break
+        break
+    if title_node is not None:
+        title = trim(etree.text_content(title_node))
+        if title:
+            m = RX_TITLE_CLEANER.match(title)
+            if m:
+                first, second = m.group(1) or "", m.group(2) or ""
+    return title, first, second
+
+
+def extract_dom_meta_selectors(doc: Element, limit: int, rules) -> str:
+    """metadata.go:626-640."""
+    for rule in rules:
+        for node in selectors.query_all(doc, rule):
+            text = trim(etree.iter_text(node, " "))
+            if 2 < len(text) < limit:
+                return text
+    return ""
+
+
+def extract_dom_title(doc: Element) -> str:
+    """metadata.go:445-487."""
+    h1_nodes = etree.get_elements_by_tag(doc, "h1")
+    if len(h1_nodes) == 1:
+        title = trim(etree.text_content(h1_nodes[0]))
+        if title:
+            return title
+
+    title = extract_dom_meta_selectors(doc, 200, selectors.META_TITLE)
+    if title:
+        return title
+
+    title, first, second = examine_title_element(doc)
+    if first != "" and "." not in first:
+        title = first
+    elif second != "" and "." not in second:
+        title = second
+    if title:
+        return title
+
+    if h1_nodes:
+        return trim(etree.text_content(h1_nodes[0]))
+    h2_nodes = etree.get_elements_by_tag(doc, "h2")
+    if h2_nodes:
+        return trim(etree.text_content(h2_nodes[0]))
+    return ""
+
+
+def extract_dom_author(doc: Element) -> str:
+    """metadata.go:490-500."""
+    pruned = prune_unwanted_nodes(doc, selectors.META_AUTHOR_DISCARD)
+    author = extract_dom_meta_selectors(pruned, 120, selectors.META_AUTHOR)
+    if author:
+        return normalize_authors("", author)
+    return ""
+
+
+def extract_dom_url(doc: Element) -> str:
+    """metadata.go:503-540."""
+    url = ""
+    for selector in _URL_SELECTORS:
+        element = css.query(doc, selector)
+        if element is None:
+            continue
+        href = trim(element.get("href"))
+        if href:
+            url = href
+            break
+
+    if url.startswith("/"):
+        for node in css.query_all(doc, _HEAD_META_CONTENT):
+            name = trim(node.get("name"))
+            prop = trim(node.get("property"))
+            attr_type = str_or(name, prop)
+            if not attr_type:
+                continue
+            if attr_type.startswith(("og:", "twitter:")):
+                base = get_base_url(trim(node.get("content")))
+                if base:
+                    url = base + url
+                    break
+
+    return url
+
+
+def extract_dom_sitename(doc: Element) -> str:
+    """metadata.go:543-552."""
+    _, first, second = examine_title_element(doc)
+    if first != "" and "." in first:
+        return first
+    if second != "" and "." in second:
+        return second
+    return ""
+
+
+def extract_dom_categories(doc: Element) -> list[str]:
+    """metadata.go:555-589."""
+    categories: list[str] = []
+    for rule in selectors.META_CATEGORIES:
+        for node in selectors.query_all(doc, rule):
+            href = trim(node.get("href"))
+            if href and RX_CATEGORY_HREF.search(href):
+                text = trim(etree.text_content(node))
+                if text:
+                    categories.append(text)
+        if categories:
+            break
+
+    if not categories:
+        merged = 'head meta[property="article:section"], head meta[name*="subject"]'
+        for node in css.query_all(doc, merged):
+            content = trim(node.get("content"))
+            if content:
+                categories.append(content)
+
+    return uniquify_lists(*categories)
+
+
+def extract_dom_tags(doc: Element) -> list[str]:
+    """metadata.go:592-612."""
+    tags: list[str] = []
+    for rule in selectors.META_TAGS:
+        for node in selectors.query_all(doc, rule):
+            href = trim(node.get("href"))
+            if href and RX_TAG_HREF.search(href):
+                text = trim(etree.text_content(node))
+                if text:
+                    tags.append(text)
+        if tags:
+            break
+    return uniquify_lists(*tags)
+
+
+def clean_cat_tags(cat_tags: list[str]) -> list[str]:
+    """metadata.go:614-624."""
+    cleaned = []
+    for entry in cat_tags:
+        for item in RX_COMMA_SEPARATOR.split(entry):
+            item = trim(item)
+            if item:
+                cleaned.append(item)
+    return cleaned
+
+
+_LICENSE_FOOTER_SELECTOR = css.parse_group(
+    'footer a[href], div[class*="footer"] a[href], div[id*="footer"] a[href]'
+)
+_LICENSE_REL_SELECTOR = css.parse_group('a[rel="license"][href]')
+
+
+def parse_license_element(node: Element, strict: bool) -> str:
+    """metadata.go:664-684."""
+    href = trim(node.get("href"))
+    if href:
+        parts = RX_CC_LICENSE.search(href)
+        if parts:
+            return f"CC {parts.group(1).upper()} {parts.group(2)}"
+    text = trim(node.text)
+    if text:
+        if not strict:
+            return text
+        parts = RX_CC_LICENSE_TEXT.search(text)
+        if parts:
+            return parts.group(0)
+    return ""
+
+
+def extract_license(doc: Element) -> str:
+    """metadata.go:643-660."""
+    for a in css.query_all(doc, _LICENSE_REL_SELECTOR):
+        result = parse_license_element(a, False)
+        if result:
+            return result
+    for node in css.query_all(doc, _LICENSE_FOOTER_SELECTOR):
+        result = parse_license_element(node, True)
+        if result:
+            return result
+    return ""
+
+
+# ---------------------------------------------------------------------------
+# Publish date (fast-mode subset of go-htmldate; metadata.go:184-220)
+# ---------------------------------------------------------------------------
+
+_DATE_META_KEYS = frozenset((
+    "article:published_time", "article:published", "og:article:published_time",
+    "article.published", "datepublished", "date_published", "published-date",
+    "published_time", "publishdate", "pubdate", "publication_date",
+    "date", "dc.date", "dc.date.issued", "dc.date.created", "dcterms.date",
+    "dcterms.created", "dcterms.issued", "sailthru.date", "parsely-pub-date",
+    "citation_publication_date", "article:modified_time", "og:updated_time",
+))
+
+_RX_ISO_DATE = stdlib_re.compile(r"(\d{4})-(\d{2})-(\d{2})")
+_RX_URL_DATE = stdlib_re.compile(r"/(\d{4})/(\d{1,2})/(\d{1,2})(?:/|$)")
+_RX_DMY_DATE = stdlib_re.compile(r"\b(\d{1,2})\.(\d{1,2})\.(\d{4})\b")
+_RX_MDY_DATE = stdlib_re.compile(r"\b(\d{1,2})/(\d{1,2})/(\d{4})\b")
+
+
+def _valid_date(y: int, m: int, d: int) -> str:
+    if 1995 <= y <= 2040 and 1 <= m <= 12 and 1 <= d <= 31:
+        return f"{y:04d}-{m:02d}-{d:02d}"
+    return ""
+
+
+def _parse_date_string(s: str) -> str:
+    s = trim(s)
+    if not s:
+        return ""
+    m = _RX_ISO_DATE.search(s)
+    if m:
+        return _valid_date(int(m.group(1)), int(m.group(2)), int(m.group(3)))
+    m = _RX_DMY_DATE.search(s)
+    if m:
+        return _valid_date(int(m.group(3)), int(m.group(2)), int(m.group(1)))
+    m = _RX_MDY_DATE.search(s)
+    if m:
+        return _valid_date(int(m.group(3)), int(m.group(1)), int(m.group(2)))
+    return ""
+
+
+def extract_date_fast(doc: Element, url: str) -> str:
+    """Fast-mode publish date: meta tags → <time> → JSON-LD → URL path.
+    A deliberate subset of go-htmldate (see metadata.go:184-220)."""
+    # 1. meta tags
+    for node in etree.get_elements_by_tag(doc, "meta"):
+        key = (node.get("property") or node.get("name") or node.get("itemprop")).lower()
+        if key in _DATE_META_KEYS:
+            date = _parse_date_string(node.get("content"))
+            if date:
+                return date
+
+    # 2. <time> elements
+    for node in etree.get_elements_by_tag(doc, "time"):
+        date = _parse_date_string(node.get("datetime") or etree.text_content(node))
+        if date:
+            return date
+
+    # 3. JSON-LD datePublished / dateCreated
+    for script in css.query_all(doc, _JSONLD_SELECTORS):
+        text = etree.text_content(script)
+        m = stdlib_re.search(
+            r'"(?:datePublished|dateCreated)"\s*:\s*"([^"]+)"', text
+        )
+        if m:
+            date = _parse_date_string(m.group(1))
+            if date:
+                return date
+
+    # 4. URL pattern /YYYY/MM/DD/
+    if url:
+        m = _RX_URL_DATE.search(url)
+        if m:
+            date = _valid_date(int(m.group(1)), int(m.group(2)), int(m.group(3)))
+            if date:
+                return date
+
+    return ""
+
+
+# ---------------------------------------------------------------------------
+# Orchestrator (metadata.go:121-265)
+# ---------------------------------------------------------------------------
+
+def extract_metadata(doc: Element, options) -> Metadata:
+    metadata = examine_meta(doc)
+    metadata.author = remove_blacklisted_authors(metadata.author, options)
+
+    metadata = extract_json_ld(options, doc, metadata)
+    metadata.author = remove_blacklisted_authors(metadata.author, options)
+
+    if metadata.title == "":
+        metadata.title = extract_dom_title(doc)
+
+    if metadata.author == "":
+        metadata.author = extract_dom_author(doc)
+        metadata.author = remove_blacklisted_authors(metadata.author, options)
+
+    if metadata.url == "":
+        metadata.url = extract_dom_url(doc)
+
+    if metadata.url != "":
+        parsed, is_abs = validate_url(metadata.url)
+        if parsed is not None and is_abs:
+            metadata.url = parsed.geturl()
+        else:
+            metadata.url = ""
+
+    if metadata.url == "" and options.original_url:
+        metadata.url = options.original_url
+
+    if metadata.url != "":
+        metadata.hostname = get_domain_url(metadata.url)
+
+    if metadata.image != "":
+        parsed, is_abs = validate_url(metadata.image)
+        if parsed is not None and is_abs:
+            metadata.image = parsed.geturl()
+        else:
+            metadata.image = ""
+
+    if options.date_mode != "disabled":
+        metadata.date = extract_date_fast(doc, metadata.url)
+
+    if metadata.sitename == "":
+        metadata.sitename = extract_dom_sitename(doc)
+
+    if metadata.sitename != "":
+        if metadata.sitename.startswith("@"):
+            metadata.sitename = metadata.sitename[1:]
+        first = metadata.sitename[:1]
+        if "." not in metadata.sitename and first and not first.isupper():
+            metadata.sitename = title_case(metadata.sitename)
+    elif metadata.url:
+        m = RX_SITENAME_FINDER.search(metadata.url)
+        if m:
+            metadata.sitename = m.group(1)
+
+    if not metadata.categories:
+        metadata.categories = extract_dom_categories(doc)
+    if metadata.categories:
+        metadata.categories = clean_cat_tags(metadata.categories)
+
+    if not metadata.tags:
+        metadata.tags = extract_dom_tags(doc)
+    if metadata.tags:
+        metadata.tags = clean_cat_tags(metadata.tags)
+
+    metadata.license = extract_license(doc)
+
+    return metadata

@@ -1,0 +1,563 @@
+"""Priority-ordered selector rule lists (first match wins).
+
+Each rule is a predicate Element -> bool; Query/QueryAll iterate all
+elements in document order. Transcribed semantics from
+/root/reference/internal/selector/*.go (content.go:29-234,
+content-discard-overall.go:29-227, comments.go, teaser/image/precision
+discards, comments-discard.go, comments-removed.go, meta-*.go).
+"""
+
+from __future__ import annotations
+
+from .etree import Element, get_elements_by_tag
+
+
+def query(root: Element, rule) -> Element | None:
+    """First matching descendant in document order
+    (internal/selector/selector.go:31-38)."""
+    for el in get_elements_by_tag(root, "*"):
+        if rule(el):
+            return el
+    return None
+
+
+def query_all(root: Element, rule) -> list[Element]:
+    return [el for el in get_elements_by_tag(root, "*") if rule(el)]
+
+
+def _idc(el: Element):
+    id_ = el.get("id")
+    class_ = el.get("class")
+    return id_, class_, id_ + class_
+
+
+# ---------------------------------------------------------------------------
+# Content rules (content.go:29-234)
+# ---------------------------------------------------------------------------
+
+_CONTENT_TAGS = ("article", "div", "main", "section")
+
+
+def content_rule_1(n: Element) -> bool:
+    if n.tag not in _CONTENT_TAGS:
+        return False
+    id_, class_, _ = _idc(n)
+    lc, li = class_.lower(), id_.lower()
+    return (
+        class_ in ("post", "entry")
+        or any(
+            m in class_
+            for m in (
+                "post-text", "post_text", "post-body", "post-entry", "postentry",
+                "post-content", "post_content", "post_inner_wrapper",
+                "article-text", "entry-content", "article-content",
+                "article__content", "article-body", "article__body",
+                "ArticleContent", "page-content", "text-content", "body-text",
+                "article__container", "art-content",
+            )
+        )
+        or "postcontent" in lc
+        or "articletext" in lc
+        or any(m in id_ for m in (
+            "entry-content", "article-content", "article__content",
+            "article-body", "article__body", "body-text", "art-content",
+        ))
+        or n.get("itemprop") == "articleBody"
+        or "articlebody" in li
+        or "articlebody" in lc
+        or id_ == "articleContent"
+    )
+
+
+def content_rule_2(n: Element) -> bool:
+    return n.tag == "article"
+
+
+def content_rule_3(n: Element) -> bool:
+    if n.tag not in _CONTENT_TAGS:
+        return False
+    id_, class_, _ = _idc(n)
+    return (
+        any(
+            m in class_
+            for m in (
+                "post-bodycopy", "storycontent", "story-content", "theme-content",
+                "blog-content", "section-content", "single-content", "single-post",
+                "main-column", "wpb_text_column", "story-body", "field-body",
+            )
+        )
+        or class_ in ("postarea", "art-postcontent", "text", "cell", "story")
+        or id_.startswith("primary")
+        or class_.startswith("article")
+        or id_ in ("article", "story")
+        or "story-body" in id_
+        or "fulltext" in class_.lower()
+        or n.get("role") == "article"
+    )
+
+
+def content_rule_4(n: Element) -> bool:
+    if n.tag not in _CONTENT_TAGS:
+        return False
+    id_, class_, _ = _idc(n)
+    return (
+        any(m in id_ for m in ("content-main", "content-body", "contentBody"))
+        or any(m in class_ for m in ("content-main", "content_main", "content-body", "content__body"))
+        or "main-content" in id_.lower()
+        or "main-content" in class_.lower()
+        or "page-content" in class_.lower()
+        or id_ == "content"
+        or class_ == "content"
+    )
+
+
+def content_rule_5(n: Element) -> bool:
+    if n.tag == "main":
+        return True
+    if n.tag not in ("article", "div", "section"):
+        return False
+    id_, class_, _ = _idc(n)
+    return (
+        class_.startswith("main")
+        or id_.startswith("main")
+        or n.get("role").startswith("main")
+    )
+
+
+CONTENT = [content_rule_1, content_rule_2, content_rule_3, content_rule_4, content_rule_5]
+
+
+# ---------------------------------------------------------------------------
+# Overall discarded content (content-discard-overall.go:29-227)
+# ---------------------------------------------------------------------------
+
+_DISCARD_TAGS = frozenset("div dd dt li ul ol dl p section span".split())
+
+_DISCARD1_CLASS_CONTAINS = (
+    "elated", "share-", "sociable", "embedded", "embed", "subnav", "tag-list",
+    "bar", "meta", "menu", "avigation", "navbar", "navbox", "rating",
+    "widget", "attachment", "timestamp", "user-info", "user-profile",
+    "-ad-", "-icon", "article-infos", "nfoline", "outbrain", "taboola",
+    "criteo", "options", "expand", "consent", "modal-content", " ad ",
+    "permission", "next-", "-stories", "most-popular", "mol-factbox",
+    "yin", "zlylin", "xg1", "slide", "viewport", "overlay",
+    "paid-content", "paidcontent", "obfuscated", "blurred",
+)
+_DISCARD1_IDCLASS_CONTAINS = (
+    "viral", "social", "syndication", "newsletter", "cookie", "tags",
+    "sidebar", "banner", "breadcrumb", "bread-crumb", "author", "button",
+    "message-container",
+)
+
+
+def overall_discarded_rule_1(n: Element) -> bool:
+    if n.tag not in _DISCARD_TAGS:
+        return False
+    id_, class_, idclass = _idc(n)
+    lid, lclass = id_.lower(), class_.lower()
+    if "footer" in lid or "footer" in lclass:
+        return True
+    if "related" in id_ or "share" in lid or "menu" in id_ or "bmdh" in id_ or "premium" in id_:
+        return True
+    if "nav" in lid or "nav" in n.get("role").lower():
+        return True
+    if idclass.startswith("shar") or id_.startswith(("jp-", "dpsp-content")):
+        return True
+    if class_.startswith(("nav", "post-nav", "ZendeskForm")):
+        return True
+    if "byline" in lclass:
+        return True
+    if any(m in class_ for m in _DISCARD1_CLASS_CONTAINS):
+        return True
+    if any(m in idclass for m in _DISCARD1_IDCLASS_CONTAINS):
+        return True
+    if "MostPopularStories" in n.get("data-component"):
+        return True
+    if "data-lp-replacement-content" in n.attrib:
+        return True
+    return False
+
+
+def overall_discarded_rule_2(n: Element) -> bool:
+    id_, class_, idclass = _idc(n)
+    style = n.get("style")
+    return (
+        "comments-title" in class_
+        or "nocomments" in class_
+        or idclass.startswith("reply-")
+        or "-reply-" in class_
+        or "message" in class_
+        or "reader-comments" in id_
+        or "akismet" in id_
+        or "akismet" in class_
+        or "suggest-links" in class_
+        or class_.startswith("hide-")
+        or "-hide-" in class_
+        or "hide-print" in class_
+        or "hidden" in id_ + style
+        or " hidden" in class_
+        or " hide" in class_
+        or "noprint" in class_
+        or "display:none" in style
+        or "display: none" in style
+        or n.get("aria-hidden") == "true"
+        or "notloaded" in class_
+    )
+
+
+OVERALL_DISCARDED_CONTENT = [overall_discarded_rule_1, overall_discarded_rule_2]
+
+
+def precision_discarded_rule_1(n: Element) -> bool:
+    return n.tag == "header"
+
+
+def precision_discarded_rule_2(n: Element) -> bool:
+    if n.tag not in _DISCARD_TAGS:
+        return False
+    id_, class_, idclass = _idc(n)
+    return "bottom" in idclass or "link" in idclass or "border" in n.get("style")
+
+
+PRECISION_DISCARDED_CONTENT = [precision_discarded_rule_1, precision_discarded_rule_2]
+
+
+def discarded_teaser_rule(n: Element) -> bool:
+    if n.tag not in _DISCARD_TAGS:
+        return False
+    id_, class_, _ = _idc(n)
+    return "teaser" in id_.lower() or "teaser" in class_.lower()
+
+
+DISCARDED_TEASER = [discarded_teaser_rule]
+
+
+def discarded_image_rule(n: Element) -> bool:
+    if n.tag not in _DISCARD_TAGS:
+        return False
+    id_, class_, _ = _idc(n)
+    return "caption" in id_ or "caption" in class_
+
+
+DISCARDED_IMAGE = [discarded_image_rule]
+
+
+# ---------------------------------------------------------------------------
+# Comments rules (comments.go, comments-discard.go, comments-removed.go)
+# ---------------------------------------------------------------------------
+
+_COMMENTS_TAGS = frozenset("div ol ul dl section".split())
+
+
+def comments_rule_1(n: Element) -> bool:
+    if n.tag not in _COMMENTS_TAGS:
+        return False
+    id_, class_, idclass = _idc(n)
+    return (
+        "commentlist" in idclass
+        or "comment-page" in class_
+        or "comment-list" in idclass
+        or "comments-content" in class_
+        or "post-comments" in class_
+    )
+
+
+def comments_rule_2(n: Element) -> bool:
+    if n.tag not in _COMMENTS_TAGS:
+        return False
+    id_, class_, idclass = _idc(n)
+    return (
+        idclass.startswith("comments")
+        or class_.startswith("Comments")
+        or idclass.startswith("comment-")
+        or "article-comments" in class_
+    )
+
+
+def comments_rule_3(n: Element) -> bool:
+    if n.tag not in _COMMENTS_TAGS:
+        return False
+    id_ = n.get("id")
+    return id_.startswith(("comol", "disqus_thread", "dsq_comments"))
+
+
+def comments_rule_4(n: Element) -> bool:
+    if n.tag not in ("div", "section"):
+        return False
+    id_, class_, _ = _idc(n)
+    return id_.startswith("social") or "comment" in class_
+
+
+COMMENTS = [comments_rule_1, comments_rule_2, comments_rule_3, comments_rule_4]
+
+
+def discarded_comments_rule_1(n: Element) -> bool:
+    return n.tag in ("div", "section") and n.get("id").startswith("respond")
+
+
+def discarded_comments_rule_2(n: Element) -> bool:
+    return n.tag in ("cite", "quote")
+
+
+def discarded_comments_rule_3(n: Element) -> bool:
+    id_, class_, idclass = _idc(n)
+    style = n.get("style")
+    return (
+        "comments-title" in class_
+        or "nocomments" in class_
+        or idclass.startswith("reply-")
+        or "-reply-" in class_
+        or "message" in class_
+        or "signin" in class_
+        or "akismet" in idclass
+        or "display:none" in style
+    )
+
+
+DISCARDED_COMMENTS = [
+    discarded_comments_rule_1,
+    discarded_comments_rule_2,
+    discarded_comments_rule_3,
+]
+
+
+# ---------------------------------------------------------------------------
+# Metadata selectors (meta-title.go, meta-author.go, meta-author-discard.go,
+# meta-categories.go, meta-tags.go)
+# ---------------------------------------------------------------------------
+
+def _ancestors(n: Element, tag: str) -> list[Element]:
+    out = []
+    p = n.parent
+    while p is not None:
+        if p.tag == tag:
+            out.append(p)
+        p = p.parent
+    return out
+
+
+def meta_title_rule_1(n: Element) -> bool:
+    if n.tag not in ("h1", "h2"):
+        return False
+    id_, class_, _ = _idc(n)
+    return (
+        any(m in class_ for m in ("post-title", "entry-title", "headline", "post__title", "article-title"))
+        or "headline" in id_
+        or "headline" in n.get("itemprop")
+    )
+
+
+def meta_title_rule_2(n: Element) -> bool:
+    return n.get("class") in ("entry-title", "post-title")
+
+
+def meta_title_rule_3(n: Element) -> bool:
+    if n.tag not in ("h1", "h2", "h3"):
+        return False
+    id_, class_, _ = _idc(n)
+    return "title" in class_ or "title" in id_
+
+
+META_TITLE = [meta_title_rule_1, meta_title_rule_2, meta_title_rule_3]
+
+
+def meta_author_rule_1(n: Element) -> bool:
+    if n.tag == "author":
+        return True
+    if n.tag not in ("a", "address", "div", "link", "p", "span", "strong"):
+        return False
+    id_, class_, _ = _idc(n)
+    rel = n.get("rel")
+    data_testid = n.get("data-testid")
+    return (
+        rel in ("author", "me")
+        or id_ == "author"
+        or class_ == "author"
+        or n.get("itemprop") == "author name"
+        or any(m in class_ for m in ("author-name", "AuthorName", "authorName", "author name"))
+        or data_testid in ("AuthorCard", "AuthorURL")
+    )
+
+
+def meta_author_rule_2(n: Element) -> bool:
+    if n.tag not in ("a", "div", "h3", "h4", "p", "span"):
+        return False
+    id_, class_, _ = _idc(n)
+    return (
+        "author" in class_
+        or "author" in id_
+        or "author" in n.get("itemprop")
+        or class_ in ("byline", "username", "byl", "BBL")
+        or "channel-name" in class_
+        or any(m in id_ for m in ("zuozhe", "bianji", "xiaobian"))
+        or any(m in class_ for m in ("zuozhe", "bianji", "xiaobian", "submitted-by", "posted-by", "journalist-name"))
+    )
+
+
+def meta_author_rule_3(n: Element) -> bool:
+    id_, class_, _ = _idc(n)
+    return (
+        "author" in id_.lower()
+        or "author" in class_.lower()
+        or "screenname" in class_
+        or "byline" in n.get("data-component").lower()
+        or "author" in n.get("itemprop")
+        or "writer" in class_
+        or "byline" in class_.lower()
+    )
+
+
+META_AUTHOR = [meta_author_rule_1, meta_author_rule_2, meta_author_rule_3]
+
+
+def meta_author_discard_rule_1(n: Element) -> bool:
+    if n.tag not in ("a", "div", "section", "span"):
+        return False
+    id_, class_, _ = _idc(n)
+    return (
+        id_ == "comments"
+        or class_ in ("comments", "title", "date")
+        or "commentlist" in id_ + class_
+        or any(
+            m in class_
+            for m in (
+                "sidebar", "is-hidden", "quote", "comment-list", "embedly-instagram",
+                "article-share", "article-support", "print", "category",
+                "meta-date", "meta-reviewer",
+            )
+        )
+        or "comment-list" in id_
+        or "ProductReviews" in id_
+        or id_.startswith("comments")
+        or "Figure" in n.get("data-component")
+        or class_.startswith(("comments", "Comments"))
+    )
+
+
+def meta_author_discard_rule_2(n: Element) -> bool:
+    return n.tag in ("time", "figure")
+
+
+META_AUTHOR_DISCARD = [meta_author_discard_rule_1, meta_author_discard_rule_2]
+
+
+def _href_a(n: Element) -> bool:
+    return n.tag == "a" and "href" in n.attrib
+
+
+def meta_categories_rule_1(n: Element) -> bool:
+    if not _href_a(n):
+        return False
+    for anc in _ancestors(n, "div"):
+        id_ = anc.get("id")
+        class_ = anc.get("class")
+        if class_.startswith(
+            ("post-info", "postinfo", "post-meta", "postmeta", "meta",
+             "entry-meta", "entry-info", "entry-utility")
+        ) or id_.startswith("postpath"):
+            return True
+    return False
+
+
+def meta_categories_rule_2(n: Element) -> bool:
+    if not _href_a(n):
+        return False
+    for anc in _ancestors(n, "p"):
+        id_ = anc.get("id")
+        class_ = anc.get("class")
+        if class_.startswith(("postmeta", "entry-categories")) or class_ == "postinfo" or id_ == "filedunder":
+            return True
+    return False
+
+
+def meta_categories_rule_3(n: Element) -> bool:
+    if not _href_a(n):
+        return False
+    return any(
+        anc.get("class").startswith(("entry-meta", "entry-footer"))
+        for anc in _ancestors(n, "footer")
+    )
+
+
+def meta_categories_rule_4(n: Element) -> bool:
+    if not _href_a(n):
+        return False
+    ancestors = _ancestors(n, "li") + _ancestors(n, "span")
+    for anc in ancestors:
+        class_ = anc.get("class")
+        if class_ in ("post-category", "postcategory", "entry-category") or "cat-links" in class_:
+            return True
+    return False
+
+
+def meta_categories_rule_5(n: Element) -> bool:
+    if not _href_a(n):
+        return False
+    return any(anc.get("class") == "entry-header" for anc in _ancestors(n, "header"))
+
+
+def meta_categories_rule_6(n: Element) -> bool:
+    if not _href_a(n):
+        return False
+    return any(anc.get("class") in ("row", "tags") for anc in _ancestors(n, "div"))
+
+
+META_CATEGORIES = [
+    meta_categories_rule_1, meta_categories_rule_2, meta_categories_rule_3,
+    meta_categories_rule_4, meta_categories_rule_5, meta_categories_rule_6,
+]
+
+
+def meta_tags_rule_1(n: Element) -> bool:
+    if not _href_a(n):
+        return False
+    return any(anc.get("class") == "tags" for anc in _ancestors(n, "div"))
+
+
+def meta_tags_rule_2(n: Element) -> bool:
+    if not _href_a(n):
+        return False
+    return any(anc.get("class").startswith("entry-tags") for anc in _ancestors(n, "p"))
+
+
+def meta_tags_rule_3(n: Element) -> bool:
+    if not _href_a(n):
+        return False
+    for anc in _ancestors(n, "div"):
+        class_ = anc.get("class")
+        if class_ in ("row", "jp-relatedposts", "entry-utility") or class_.startswith(
+            ("tag", "postmeta", "meta")
+        ):
+            return True
+    return False
+
+
+def meta_tags_rule_4(n: Element) -> bool:
+    if not _href_a(n):
+        return False
+    p = n.parent
+    while p is not None:
+        class_ = p.get("class")
+        if class_ == "entry-meta" or "topics" in class_ or "tags-links" in class_:
+            return True
+        p = p.parent
+    return False
+
+
+META_TAGS = [meta_tags_rule_1, meta_tags_rule_2, meta_tags_rule_3, meta_tags_rule_4]
+
+
+def removed_comments_rule(n: Element) -> bool:
+    if n.tag not in _COMMENTS_TAGS:
+        return False
+    id_, class_, _ = _idc(n)
+    return (
+        id_.lower().startswith("comment")
+        or class_.lower().startswith("comment")
+        or "article-comments" in class_
+        or "post-comments" in class_
+        or id_.startswith(("comol", "disqus_thread", "dsq-comments"))
+    )
+
+
+REMOVED_COMMENTS = [removed_comments_rule]

@@ -1,0 +1,252 @@
+"""Scalar helpers: whitespace, boilerplate filters, URL ops, language ID.
+
+Reference anchors: trim (/root/reference/utils-common.go:31-34), textFilter
+(/root/reference/utils-extractor.go:112-133 + internal/re2go), duplicate
+test (/root/reference/utils-extractor.go:136-149), image checks
+(/root/reference/utils-common.go:54-74), URL helpers
+(/root/reference/url.go:31-120), language classifier
+(/root/reference/utils-extractor.go:96-109 — whatlanggo; re-specified here
+as a deterministic stopword-frequency classifier).
+"""
+
+from __future__ import annotations
+
+import mimetypes
+import posixpath
+import re
+from urllib.parse import urlparse, urljoin
+
+from . import etree
+from .etree import Element
+
+
+def trim(s: str) -> str:
+    """Collapse all whitespace runs to single spaces and strip.
+    Same as Go strings.Join(strings.Fields(s), " ")."""
+    if not s:
+        return ""
+    return " ".join(s.split())
+
+
+def str_word_count(s: str) -> int:
+    return len(s.split())
+
+
+def str_or(*args: str) -> str:
+    for a in args:
+        if a != "":
+            return a
+    return ""
+
+
+# re2go/utils-extractor.re:4-31 — RE_FILTER (share-button boilerplate)
+RE_FILTER = re.compile(
+    r"(?i)\W*(Drucken|E-?Mail|Facebook|Flipboard|Google|Instagram|"
+    r"Linkedin|Mail|PDF|Pinterest|Pocket|Print|QQ|Reddit|Twitter|"
+    r"WeChat|WeiBo|Whatsapp|Xing|Mehr zum Thema:?|More on this\.{0,8})$"
+)
+
+
+def text_chars_test(s: str) -> bool:
+    """True if the string has any non-space content."""
+    return trim(s) != ""
+
+
+def text_filter(el: Element) -> bool:
+    """True → drop the node (boilerplate or blank).
+    Reference: utils-extractor.go:112-127."""
+    text = el.text
+    test_text = text if text != "" else el.tail
+    if not text_chars_test(test_text):
+        return True
+    return any(RE_FILTER.search(line) for line in test_text.split("\n"))
+
+
+def duplicate_test(el: Element, cache, options) -> bool:
+    """LRU segment dedup (utils-extractor.go:136-149): a segment longer
+    than MinDuplicateCheckSize runes becomes a duplicate once seen more
+    than MaxDuplicateCount times."""
+    is_dup = False
+    test_string = trim(etree.iter_text(el, " "))
+    if len(test_string) > options.config.min_duplicate_check_size:
+        val = cache.get(test_string)
+        if val > options.config.max_duplicate_count:
+            is_dup = True
+        cache.put(test_string, val + 1)
+    return is_dup
+
+
+def is_image_file(image_src: str) -> bool:
+    if not image_src:
+        return False
+    # strip query/fragment like Go's filepath.Ext on a URL path would not,
+    # but mime.TypeByExtension sees the raw extension — match that.
+    ext = posixpath.splitext(image_src)[1]
+    mime = mimetypes.guess_type("x" + ext)[0] or ""
+    return mime.startswith("image")
+
+
+def is_image_element(el: Element) -> bool:
+    for key, val in el.attrib.items():
+        if key == "src" or key.startswith("data-src"):
+            if is_image_file(val):
+                return True
+    return False
+
+
+def uniquify_lists(*currents: str) -> list[str]:
+    """Order-preserving distinct over split category/tag strings.
+    Reference: utils-common.go:76-99."""
+    final: list[str] = []
+    seen: set[str] = set()
+    for current in currents:
+        separator = ";" if current.count(";") > current.count(",") else ","
+        for entry in current.split(separator):
+            entry = trim(entry).replace('"', "").replace("'", "")
+            if entry and entry not in seen:
+                final.append(entry)
+                seen.add(entry)
+    return final
+
+
+# ---------------------------------------------------------------------------
+# URL helpers (url.go:31-120)
+# ---------------------------------------------------------------------------
+
+def is_absolute_url(url: str) -> tuple:
+    try:
+        parsed = urlparse(url)
+    except ValueError:
+        return False, None
+    if parsed.scheme not in ("http", "https") or not parsed.netloc:
+        return False, parsed
+    return True, parsed
+
+
+def create_absolute_url(url: str, base) -> str:
+    """Resolve url against base; hash/data:/javascript: pass through.
+    base may be a string or a ParseResult-ish or None."""
+    if not url:
+        return url
+    if url.startswith(("#", "data:", "javascript:", "mailto:")):
+        return url
+    if base is None:
+        return url
+    base_str = base if isinstance(base, str) else base.geturl()
+    try:
+        return urljoin(base_str, url)
+    except ValueError:
+        return url
+
+
+def get_base_url(url: str) -> str:
+    try:
+        p = urlparse(url)
+        if not p.scheme or not p.netloc:
+            return ""
+        return f"{p.scheme}://{p.netloc}"
+    except ValueError:
+        return ""
+
+
+def get_domain_url(url: str) -> str:
+    try:
+        host = urlparse(url).hostname or ""
+    except ValueError:
+        return ""
+    parts = host.split(".")
+    if len(parts) <= 2:
+        return host
+    return ".".join(parts[-2:])
+
+
+def validate_url(url: str) -> tuple:
+    ok, parsed = is_absolute_url(url)
+    return (parsed, ok)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic language classifier
+# ---------------------------------------------------------------------------
+# The reference delegates to whatlanggo (trigram profiles). A full trigram
+# port is out of scope; this is a deterministic stopword-frequency
+# classifier over the same ISO 639-1 surface, adequate for gating and for
+# filling metadata.language on clearly monolingual text.
+
+_STOPWORDS = {
+    "en": "the and of to in is that it for was with as his on are this be at by have from or had not but what all were when there can".split(),
+    "de": "der die und das ist nicht von mit den des dem ein eine einen im für auf als auch sich werden wurde bei aus nach wie zum".split(),
+    "fr": "le la les des une est dans pour que qui sur avec pas plus par mais comme tout nous vous ont cette aux être sont".split(),
+    "es": "el la los las una es en que de por para con se su al lo como más pero sus fue este son entre cuando".split(),
+    "it": "il la che di e per una sono con non del alla nel più anche come dei delle questo essere dalla gli".split(),
+    "pt": "o a os as um uma é de em que para com não por mais como mas foi ele isso ou sua seu são".split(),
+    "nl": "de het een en van in is dat op te zijn voor met als aan er maar om ook bij naar dan nog".split(),
+    "ru": "и в не на что с он как это по но они из его за от так же для мы бы была было".split(),
+    "id": "yang dan di ini itu dengan untuk dari dalam tidak pada adalah akan ke juga saya kita mereka bisa ada atau".split(),
+    "tr": "bir ve bu da ne için ile olarak daha çok ama gibi sonra kadar var yok ben sen biz onlar".split(),
+    "pl": "i w nie na to z że się jest do jak po przez tak ale za od czy tym jego".split(),
+    "sv": "och det att i en som på är av för med den till inte har de om ett han var men".split(),
+}
+_STOPWORD_SETS = {lang: frozenset(words) for lang, words in _STOPWORDS.items()}
+
+
+def detect_language(text: str) -> str:
+    """Return ISO 639-1 code of the dominant language, or "" if unknown."""
+    words = re.findall(r"[^\W\d_]+", text.lower())
+    if len(words) < 5:
+        return ""
+    scores = {}
+    for lang, sw in _STOPWORD_SETS.items():
+        hits = sum(1 for w in words if w in sw)
+        if hits:
+            scores[lang] = hits
+    if not scores:
+        return ""
+    best = max(scores.items(), key=lambda kv: (kv[1], kv[0]))
+    if best[1] < max(2, len(words) // 50):
+        return ""
+    return best[0]
+
+
+def language_classifier(content_text: str, comments_text: str) -> str:
+    """utils-extractor.go:96-109 — classify the longer of the two texts."""
+    lang_test = comments_text if len(comments_text) > len(content_text) else content_text
+    return detect_language(lang_test)
+
+
+_RX_HTML_LANG = re.compile(r"(?i)[a-z]{2}")
+
+
+def check_html_language(doc: Element, options, strict: bool) -> bool:
+    """utils-extractor.go:44-93 — meta content-language / og:locale, then
+    (strict) <html lang>."""
+    from . import css
+
+    html_node = doc if doc.tag == "html" else None
+    if html_node is None:
+        nodes = etree.get_elements_by_tag(doc, "html")
+        if nodes:
+            html_node = nodes[0]
+
+    target = options.target_language
+    for selector in (
+        'meta[http-equiv="content-language"][content]',
+        'meta[property="og:locale"][content]',
+    ):
+        meta_nodes = css.query_all(doc, selector)
+        if not meta_nodes:
+            continue
+        for meta in meta_nodes:
+            content = meta.get("content")
+            for lang in _RX_HTML_LANG.findall(content):
+                if lang.lower() == target:
+                    return True
+        return False
+
+    if strict and html_node is not None and "lang" in html_node.attrib:
+        for lang in _RX_HTML_LANG.findall(html_node.get("lang")):
+            if lang.lower() == target:
+                return True
+        return False
+
+    return True
