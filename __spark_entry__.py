@@ -1,38 +1,412 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship extraction pipeline over /root/testdata/sf0.001:
+                synthesize the north-rule pages table (url, warc_ts,
+                html, text, lang) JVM-side from the documents table, run
+                the Arrow extraction kernel, return extracted columns.
+queries()     — implemented operators (SURVEY.md §2 + training-data ops),
+                each (spark, sf_dir) -> DataFrame.
+oracle_sql()  — DuckDB twins. All aliases match the Spark column names;
+                all hash/signature arithmetic is integer + md5-based so
+                the two engines agree bit-for-bit; cosine scores are
+                rounded to 4 decimals on both sides.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from go_trafilatura_spark import textops
+from go_trafilatura_spark.kernel import KernelOptions, OUTPUT_SCHEMA, make_kernel
+from go_trafilatura_spark.pipeline import extract_pages
+from go_trafilatura_spark.textops import LANG_STOPWORDS, MINHASH_PERMS, MINHASH_PRIME, SIMHASH_BITS
+
+FIXTURE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures", "correctness")
+GOLDEN_PARQUET = os.path.join(FIXTURE_DIR, "golden.parquet")
+PAGES_PARQUET = os.path.join(FIXTURE_DIR, "pages.parquet")
+
+# Kernel options for the synthetic-doc queries: disable the wild-text
+# rescue and size gates so every row extracts through the main cascade
+# (the synthetic docs are word-soup with no 250-char guarantee).
+_SYNTH_OPTS = {"config": {"min_extracted_size": 0, "min_output_size": 0}}
+
+
+def _ensure_fixtures() -> None:
+    from go_trafilatura_spark.fixtures import ensure_fixtures
+
+    ensure_fixtures("correctness")
+
+
+def synth_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize the north-rule input table from the driver-provided
+    documents table, entirely JVM-side (format_string + encode — no
+    Python)."""
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    html = F.format_string(
+        '<html><head><title>Doc %s</title></head><body>'
+        '<article class="post-content"><h1>Doc %s</h1><p>%s</p></article>'
+        "</body></html>",
+        F.col("doc_id"), F.col("doc_id"), F.col("text"),
+    )
+    return docs.where(F.length(F.trim("text")) > 0).select(
+        F.concat(F.lit("https://synth.local/doc/"), F.col("doc_id")).alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.encode(html, "utf-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full extraction pipeline at sf0.001."""
+    pages = synth_pages(spark, "/root/testdata/sf0.001")
+    return extract_pages(pages, options=_SYNTH_OPTS, num_partitions=8)
+
+
+# ---------------------------------------------------------------------------
+# queries()
+# ---------------------------------------------------------------------------
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+def q_extract_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end extraction correctness on driver data: content text and
+    title of every synthesized page, byte-compared against a pure-SQL
+    prediction."""
+    out = extract_pages(synth_pages(spark, sf_dir), options=_SYNTH_OPTS, num_partitions=8)
+    return out.where(F.col("reject_reason").isNull()).select(
+        "url", "content_text", "title"
+    )
+
+
+def q_extract_fixture_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-parity on the template fixture corpus (all operator families:
+    boilerplate discard, link-density, lists, tables, code, comments,
+    metadata). Oracle = the generator-predicted golden table."""
+    _ensure_fixtures()
+    pages = spark.read.parquet(PAGES_PARQUET)
+    out = extract_pages(pages, num_partitions=8)
+    return out.where(F.col("reject_reason").isNull()).select(
+        "url", "content_text", "comments_text", "title", "author", "sitename", "date"
+    )
+
+
+def q_token_counts(spark, sf_dir):
+    df = textops.token_counts(_docs(spark, sf_dir))
+    return df.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_unique_tokens").cast("bigint").alias("n_unique_tokens"),
+        F.col("n_chars_text").cast("bigint").alias("n_chars_text"),
+    )
+
+
+def q_fingerprints(spark, sf_dir):
+    return textops.fingerprints(_docs(spark, sf_dir))
+
+
+def q_exact_dedup(spark, sf_dir):
+    df = textops.exact_dedup_flags(_docs(spark, sf_dir))
+    return df.select("doc_id", "fingerprint", F.col("is_duplicate").cast("bigint").alias("is_duplicate"))
+
+
+def q_minhash_signatures(spark, sf_dir):
+    return textops.minhash_signatures(_docs(spark, sf_dir))
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    return textops.minhash_lsh_pairs(_docs(spark, sf_dir))
+
+
+def q_simhash(spark, sf_dir):
+    return textops.simhash(_docs(spark, sf_dir))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    return textops.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.2).select(
+        "doc_a", "doc_b", F.col("n_common").cast("bigint").alias("n_common"), "jaccard"
+    )
+
+
+def q_quality_scores(spark, sf_dir):
+    df = textops.quality_scores(_docs(spark, sf_dir))
+    return df.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_chars_text").cast("bigint").alias("n_chars_text"),
+        F.col("n_stopwords").cast("bigint").alias("n_stopwords"),
+        F.col("n_unique").cast("bigint").alias("n_unique"),
+        "stopword_ratio",
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    df = textops.lang_id_heuristic(_docs(spark, sf_dir))
+    casts = [F.col(f"hits_{lg}").cast("bigint").alias(f"hits_{lg}") for lg in LANG_STOPWORDS]
+    return df.select("doc_id", *casts, "pred_lang")
+
+
+def q_ann_bruteforce(spark, sf_dir):
+    return textops.ann_bruteforce_topk(_emb(spark, sf_dir), query_vec_id=0, k=10)
+
+
+def q_ann_lsh(spark, sf_dir):
+    return textops.ann_lsh_topk(_emb(spark, sf_dir), query_vec_id=0, k=5).select(
+        "vec_id", F.col("bucket").cast("bigint").alias("bucket"), "cosine"
+    )
+
+
+def q_embedding_neardup(spark, sf_dir):
+    return textops.embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.95)
+
+
+def q_host_stats(spark, sf_dir):
+    """Relational demo over the fixture pages: per-host doc counts and
+    html size stats (host skew visibility — the salting rationale)."""
+    _ensure_fixtures()
+    pages = spark.read.parquet(PAGES_PARQUET)
+    return (
+        pages.select(
+            F.regexp_extract("url", "https://([^/]+)/", 1).alias("host"),
+            F.length("html").cast("bigint").alias("html_len"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum("html_len").alias("total_bytes"),
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "extract_synth": q_extract_synth,
+        "extract_fixture_parity": q_extract_fixture_parity,
+        "token_counts": q_token_counts,
+        "fingerprints": q_fingerprints,
+        "exact_dedup": q_exact_dedup,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "simhash": q_simhash,
+        "ngram_jaccard": q_ngram_jaccard,
+        "quality_scores": q_quality_scores,
+        "lang_id": q_lang_id,
+        "ann_bruteforce": q_ann_bruteforce,
+        "ann_lsh": q_ann_lsh,
+        "embedding_neardup": q_embedding_neardup,
+        "host_stats": q_host_stats,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle_sql() — DuckDB dialect
+# ---------------------------------------------------------------------------
+
+_TOKENS = "regexp_split_to_array(trim(text), '\\s+')"
+_NORm = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+def _sql_minhash_base(k: int = 3) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS} AS tokens FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest([tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+                 FOR i IN range(1, greatest(len(tokens)-{k - 1}, 0)+1)]) AS shingle
+  FROM toks
+), hashed AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(shingle), 1, 15))::BIGINT) % {MINHASH_PRIME} AS h
+  FROM sh
+)"""
+
+
+def _sql_minhash_sigs() -> str:
+    sig_cols = ", ".join(
+        f"min(({a} * h + {b}) % {MINHASH_PRIME}) AS sig{i}"
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    )
+    return _sql_minhash_base() + f"\nSELECT doc_id, {sig_cols} FROM hashed GROUP BY doc_id"
+
+
+def _sql_simhash() -> str:
+    sums = ", ".join(f"sum((h >> {b}) & 1) AS s{b}" for b in range(SIMHASH_BITS))
+    bits = " + ".join(
+        f"(CASE WHEN s{b} * 2 > n THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKENS}) AS tok FROM documents
+), hashed AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks
+), agg AS (
+  SELECT doc_id, count(*) AS n, {sums} FROM hashed GROUP BY doc_id
+)
+SELECT doc_id, {bits} AS simhash FROM agg"""
+
+
+def _sql_lang_id() -> str:
+    hit_cols = []
+    for lg, words in LANG_STOPWORDS.items():
+        in_list = ", ".join(f"'{w}'" for w in words)
+        hit_cols.append(
+            f"len(list_filter({_TOKENS}, t -> t IN ({in_list}))) AS hits_{lg}"
+        )
+    langs = list(LANG_STOPWORDS)
+    best = "greatest(" + ", ".join(f"hits_{lg}" for lg in langs) + ")"
+    case = "CASE WHEN " + best + " <= 0 THEN '' "
+    for lg in langs:
+        case += f"WHEN hits_{lg} = {best} THEN '{lg}' "
+    case += "END"
+    return (
+        "WITH scored AS (SELECT doc_id, "
+        + ", ".join(hit_cols)
+        + " FROM documents) SELECT doc_id, "
+        + ", ".join(f"hits_{lg}" for lg in langs)
+        + f", {case} AS pred_lang FROM scored"
+    )
+
+
+def _sql_jaccard(threshold: float = 0.2) -> str:
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS} AS tokens FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct([tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]
+                 FOR i IN range(1, greatest(len(tokens)-2, 0)+1)])) AS shingle
+  FROM toks
+), sizes AS (
+  SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM sh a JOIN sh b USING (shingle)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, n_common,
+       round(n_common / (sa.n_shingles + sb.n_shingles - n_common), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(n_common / (sa.n_shingles + sb.n_shingles - n_common), 4) >= {threshold}"""
+
+
+def _sql_lsh_pairs() -> str:
+    return f"""
+WITH sigs AS ({_sql_minhash_sigs()}),
+bands AS (
+  SELECT doc_id,
+         sig0::VARCHAR || '_' || sig1::VARCHAR AS band0,
+         sig2::VARCHAR || '_' || sig3::VARCHAR AS band1
+  FROM sigs
+),
+p0 AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band0 = b.band0 WHERE a.doc_id < b.doc_id
+),
+p1 AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band1 = b.band1 WHERE a.doc_id < b.doc_id
+)
+SELECT DISTINCT doc_a, doc_b FROM (SELECT * FROM p0 UNION ALL SELECT * FROM p1)"""
+
+
+def _sql_quality() -> str:
+    en = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+    return f"""
+SELECT doc_id,
+       len({_TOKENS}) AS n_tokens,
+       length(trim(text)) AS n_chars_text,
+       len(list_filter({_TOKENS}, t -> t IN ({en}))) AS n_stopwords,
+       len(list_distinct({_TOKENS})) AS n_unique,
+       len(list_filter({_TOKENS}, t -> t IN ({en}))) / len({_TOKENS}) AS stopword_ratio
+FROM documents"""
+
+
+def _sql_extract_synth() -> str:
+    # The kernel's output for the synthetic template: heading + single
+    # paragraph → "Doc <id> <normalized text>"; title = "Doc <id>".
+    return """
+SELECT 'https://synth.local/doc/' || doc_id AS url,
+       'Doc ' || doc_id || ' ' || regexp_replace(trim(text), '\\s+', ' ', 'g') AS content_text,
+       'Doc ' || doc_id AS title
+FROM documents
+WHERE length(trim(text)) > 0"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    golden = GOLDEN_PARQUET.replace("'", "''")
+    return {
+        "extract_synth": _sql_extract_synth(),
+        "extract_fixture_parity": (
+            f"SELECT url, content_text, comments_text, title, author, sitename, date "
+            f"FROM read_parquet('{golden}')"
+        ),
+        "token_counts": f"""
+SELECT doc_id,
+       len({_TOKENS}) AS n_tokens,
+       len(list_distinct({_TOKENS})) AS n_unique_tokens,
+       length(trim(text)) AS n_chars_text
+FROM documents""",
+        "fingerprints": f"SELECT doc_id, md5({_NORm}) AS fingerprint FROM documents",
+        "exact_dedup": f"""
+SELECT doc_id, fingerprint,
+       CASE WHEN row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) > 1
+            THEN 1 ELSE 0 END AS is_duplicate
+FROM (SELECT doc_id, md5({_NORm}) AS fingerprint FROM documents)""",
+        "minhash_signatures": _sql_minhash_sigs(),
+        "minhash_lsh_pairs": _sql_lsh_pairs(),
+        "simhash": _sql_simhash(),
+        "ngram_jaccard": _sql_jaccard(),
+        "quality_scores": _sql_quality(),
+        "lang_id": _sql_lang_id(),
+        "ann_bruteforce": """
+SELECT e.vec_id,
+       round(list_cosine_similarity(e.embedding, q.embedding), 4) AS cosine
+FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+WHERE e.vec_id <> 0
+ORDER BY cosine DESC, e.vec_id ASC
+LIMIT 10""",
+        "ann_lsh": """
+WITH bucketed AS (
+  SELECT vec_id, embedding,
+         (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+       + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END)
+       + (CASE WHEN embedding[6] > 0 THEN 32 ELSE 0 END)
+       + (CASE WHEN embedding[7] > 0 THEN 64 ELSE 0 END)
+       + (CASE WHEN embedding[8] > 0 THEN 128 ELSE 0 END) AS bucket
+  FROM embeddings
+), q AS (SELECT embedding AS qvec, bucket AS qbucket FROM bucketed WHERE vec_id = 0)
+SELECT b.vec_id, b.bucket::BIGINT AS bucket,
+       round(list_cosine_similarity(b.embedding, q.qvec), 4) AS cosine
+FROM bucketed b, q
+WHERE b.bucket = q.qbucket AND b.vec_id <> 0
+ORDER BY cosine DESC, b.vec_id ASC
+LIMIT 5""",
+        "embedding_neardup": """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
+FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.95""",
+        "host_stats": (
+            f"SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host, "
+            f"count(*) AS n_pages, sum(octet_length(html)) AS total_bytes "
+            f"FROM read_parquet('{PAGES_PARQUET}') GROUP BY host"
+        ),
+    }

@@ -84,10 +84,15 @@ def extract_document(doc: Element, options: Options) -> ExtractResult:
             group_rule = [lambda n, _ss=sels: any(s.matches(n) for s in _ss)]
             doc = prune_unwanted_nodes(doc, group_rule)
 
-    # Clone working copies
+    # Clone working copies. The reference always makes three clones
+    # (core.go:133-135); we skip the ones that cannot be consumed under
+    # the current options — pure allocation savings, no semantic change.
     doc = etree.clone(doc, True)
-    doc_backup1 = etree.clone(doc, True)
-    doc_backup2 = etree.clone(doc, True)
+    doc_backup1 = etree.clone(doc, True) if options.enable_fallback else None
+    needs_baseline = (
+        options.config.min_extracted_size > 0 and options.focus != FAVOR_PRECISION
+    )
+    doc_backup2 = etree.clone(doc, True) if needs_baseline else None
 
     # Clean and convert
     doc_cleaning(doc, options)

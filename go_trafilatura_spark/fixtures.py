@@ -1,0 +1,415 @@
+"""Deterministic synthetic page generator + byte-exact golden oracle.
+
+Builds the north-rule input table (url, warc_ts, html, text, lang) plus a
+``golden`` table holding the *generator-predicted* extraction output per
+url (content_text, comments_text, title, ...). The prediction is made
+from the template structure alone — never by running the extractor — so
+comparing kernel output against golden is a genuine byte-parity oracle
+(FIXTURES.md §3; modeled on the reference's comparison corpus,
+scripts/comparison/data.go).
+
+Everything is seeded (seed=42); no wall clock, no network.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import random
+
+# Word pool: common English words incl. classifier stopwords.
+_WORDS_EN = (
+    "the and for are but not you all can her was one our out day get has him "
+    "his how man new now old see two way who boy did its let put say she too "
+    "use that with have this will your from they know want been good much some "
+    "time very when come here just like long make many more only over such "
+    "take than them well were what work year about after again before great "
+    "house large small sound still study world below country school father "
+    "between important children example question complete government"
+).split()
+
+_WORDS_DE = (
+    "der die und das ist nicht von mit den des dem ein eine einen im für auf "
+    "als auch sich werden wurde bei aus nach wie zum haben wird sind oder "
+    "einer einem über zwischen wichtig beispiel frage schule vater kinder "
+    "haus groß klein welt land regierung arbeit jahr zeit gut viel wenn"
+).split()
+
+_HOST_COUNT = 50
+
+
+def _sentence(rng: random.Random, words: list[str]) -> str:
+    n = rng.randint(8, 14)
+    ws = [rng.choice(words) for _ in range(n)]
+    s = " ".join(ws)
+    return s[0].upper() + s[1:] + "."
+
+
+def _paragraph(rng: random.Random, words: list[str], n_sentences: int | None = None) -> str:
+    n = n_sentences if n_sentences is not None else rng.randint(3, 6)
+    return " ".join(_sentence(rng, words) for _ in range(n))
+
+
+def _host(rng: random.Random) -> str:
+    # Zipf-ish skew over hosts to exercise salting: P(k) ∝ 1/(k+1)
+    weights = [1.0 / (k + 1) for k in range(_HOST_COUNT)]
+    k = rng.choices(range(_HOST_COUNT), weights=weights, k=1)[0]
+    return f"host{k}.example.com"
+
+
+_BOILER_SNIPPETS = (
+    '<nav class="navbar"><a href="/">Home</a> <a href="/news">News</a> <a href="/about">About</a></nav>',
+    '<div class="sidebar-widget">Trending now and other popular stories</div>',
+    '<div class="share-buttons">Facebook Twitter Pinterest</div>',
+    '<footer class="site-footer">Copyright 2024 Example Media. All rights reserved.</footer>',
+    '<div class="cookie-banner">We use cookies to improve your experience.</div>',
+    '<div class="newsletter-signup">Subscribe to our newsletter for updates</div>',
+)
+
+
+class Page:
+    __slots__ = ("url", "warc_ts", "html", "text", "lang", "golden")
+
+    def __init__(self, url, warc_ts, html, text, lang, golden):
+        self.url = url
+        self.warc_ts = warc_ts
+        self.html = html
+        self.text = text
+        self.lang = lang
+        self.golden = golden
+
+
+def _mk_golden(url, family, content_text, comments_text="", title="", author="",
+               sitename="", date="", categories=(), tags=(), reject_reason=None):
+    return {
+        "url": url,
+        "family": family,
+        "content_text": content_text,
+        "comments_text": comments_text,
+        "title": title,
+        "author": author,
+        "sitename": sitename,
+        "date": date,
+        "categories": list(categories),
+        "tags": list(tags),
+        "reject_reason": reject_reason,
+    }
+
+
+def _wrap(head_extra: str, body: str, lang: str = "en") -> str:
+    return (
+        f'<!DOCTYPE html><html lang="{lang}"><head><meta charset="utf-8">'
+        f"{head_extra}</head><body>{body}</body></html>"
+    )
+
+
+def _gen_article_simple(rng, url, lang):
+    words = _WORDS_DE if lang == "de" else _WORDS_EN
+    heading = _sentence(rng, words)[:-1]
+    paras = [_paragraph(rng, words) for _ in range(rng.randint(3, 6))]
+    body = (
+        '<article class="post-content"><h1>'
+        + heading
+        + "</h1>"
+        + "".join(f"<p>{p}</p>" for p in paras)
+        + "</article>"
+    )
+    html = _wrap(f"<title>{heading}</title>", body, lang)
+    expected = " ".join([heading] + paras)
+    return html, _mk_golden(url, "article_simple", expected, title=heading)
+
+
+def _gen_div_classed(rng, url, lang):
+    words = _WORDS_EN
+    heading = _sentence(rng, words)[:-1]
+    cls = rng.choice(["entry-content", "article-body", "post-content", "main-content"])
+    paras = [_paragraph(rng, words) for _ in range(rng.randint(3, 5))]
+    body = (
+        f'<div class="{cls}"><h1>{heading}</h1>'
+        + "".join(f"<p>{p}</p>" for p in paras)
+        + "</div>"
+    )
+    html = _wrap(f"<title>{heading}</title>", body, lang)
+    expected = " ".join([heading] + paras)
+    return html, _mk_golden(url, "div_classed", expected, title=heading)
+
+
+def _gen_boilerplate_heavy(rng, url, lang):
+    words = _WORDS_EN
+    heading = _sentence(rng, words)[:-1]
+    paras = [_paragraph(rng, words) for _ in range(rng.randint(3, 5))]
+    noise = list(_BOILER_SNIPPETS)
+    rng.shuffle(noise)
+    body = (
+        noise[0] + noise[1]
+        + '<article><h1>' + heading + "</h1>"
+        + "".join(f"<p>{p}</p>" for p in paras)
+        + "</article>"
+        + "".join(noise[2:])
+    )
+    html = _wrap(f"<title>{heading}</title>", body, lang)
+    expected = " ".join([heading] + paras)
+    return html, _mk_golden(url, "boilerplate_heavy", expected, title=heading)
+
+
+def _gen_linkfarm(rng, url, lang):
+    words = _WORDS_EN
+    heading = _sentence(rng, words)[:-1]
+    paras = [_paragraph(rng, words) for _ in range(rng.randint(3, 5))]
+    links = "".join(
+        f'<a href="/l{i}">{rng.choice(words)}</a> ' for i in range(20)
+    )
+    body = (
+        "<article><h1>" + heading + "</h1>"
+        + "".join(f"<p>{p}</p>" for p in paras)
+        + f'<div class="related-posts">{links}</div>'
+        + "</article>"
+    )
+    html = _wrap(f"<title>{heading}</title>", body, lang)
+    expected = " ".join([heading] + paras)
+    return html, _mk_golden(url, "linkfarm", expected, title=heading)
+
+
+def _gen_lists(rng, url, lang):
+    words = _WORDS_EN
+    heading = _sentence(rng, words)[:-1]
+    paras = [_paragraph(rng, words) for _ in range(2)]
+    items = [_sentence(rng, words) for _ in range(rng.randint(3, 6))]
+    body = (
+        "<article><h1>" + heading + "</h1>"
+        + f"<p>{paras[0]}</p>"
+        + "<ul>" + "".join(f"<li>{it}</li>" for it in items) + "</ul>"
+        + f"<p>{paras[1]}</p>"
+        + "</article>"
+    )
+    html = _wrap(f"<title>{heading}</title>", body, lang)
+    expected = " ".join([heading, paras[0]] + items + [paras[1]])
+    return html, _mk_golden(url, "lists", expected, title=heading)
+
+
+def _gen_tables(rng, url, lang):
+    words = _WORDS_EN
+    heading = _sentence(rng, words)[:-1]
+    paras = [_paragraph(rng, words) for _ in range(2)]
+    n_rows = rng.randint(2, 4)
+    cells = [[rng.choice(words), rng.choice(words)] for _ in range(n_rows)]
+    table = (
+        "<table><thead><tr><th>Name</th><th>Value</th></tr></thead><tbody>"
+        + "".join(f"<tr><td>{a}</td><td>{b}</td></tr>" for a, b in cells)
+        + "</tbody></table>"
+    )
+    body = (
+        "<article><h1>" + heading + "</h1>"
+        + f"<p>{paras[0]}</p>" + table + f"<p>{paras[1]}</p>" + "</article>"
+    )
+    html = _wrap(f"<title>{heading}</title>", body, lang)
+    flat_cells = ["Name", "Value"] + [w for row in cells for w in row]
+    expected = " ".join([heading, paras[0]] + flat_cells + [paras[1]])
+    return html, _mk_golden(url, "tables", expected, title=heading)
+
+
+def _gen_code_blocks(rng, url, lang):
+    words = _WORDS_EN
+    heading = _sentence(rng, words)[:-1]
+    paras = [_paragraph(rng, words) for _ in range(2)]
+    code = f"def f_{rng.randint(1, 99)}(x): return x * {rng.randint(2, 9)}"
+    body = (
+        "<article><h1>" + heading + "</h1>"
+        + f"<p>{paras[0]}</p>"
+        + f'<pre lang="python">{code}</pre>'
+        + f"<p>{paras[1]}</p>"
+        + "</article>"
+    )
+    html = _wrap(f"<title>{heading}</title>", body, lang)
+    expected = " ".join([heading, paras[0], code, paras[1]])
+    return html, _mk_golden(url, "code_blocks", expected, title=heading)
+
+
+def _gen_comments_section(rng, url, lang):
+    words = _WORDS_EN
+    heading = _sentence(rng, words)[:-1]
+    paras = [_paragraph(rng, words) for _ in range(rng.randint(3, 4))]
+    comments = [_sentence(rng, words) for _ in range(rng.randint(2, 4))]
+    body = (
+        "<article><h1>" + heading + "</h1>"
+        + "".join(f"<p>{p}</p>" for p in paras)
+        + "</article>"
+        + '<div id="comments" class="comment-list">'
+        + "".join(f"<p>{c}</p>" for c in comments)
+        + "</div>"
+    )
+    html = _wrap(f"<title>{heading}</title>", body, lang)
+    expected = " ".join([heading] + paras)
+    expected_comments = " ".join(comments)
+    return html, _mk_golden(
+        url, "comments_section", expected, comments_text=expected_comments, title=heading
+    )
+
+
+def _gen_metadata_rich(rng, url, lang):
+    words = _WORDS_EN
+    heading = _sentence(rng, words)[:-1]
+    author_first = rng.choice(["Jane", "John", "Maria", "Pierre", "Anna"])
+    author_last = rng.choice(["Smith", "Miller", "Garcia", "Dubois", "Weber"])
+    author = f"{author_first} {author_last}"
+    sitename = "Example News Network"
+    date = f"202{rng.randint(0, 4)}-{rng.randint(1, 12):02d}-{rng.randint(1, 28):02d}"
+    category = rng.choice(["Politics", "Science", "Sports", "Culture"])
+    tags = [rng.choice(words), rng.choice(words)]
+    paras = [_paragraph(rng, words) for _ in range(rng.randint(3, 5))]
+    json_ld = json.dumps({
+        "@context": "https://schema.org",
+        "@type": "NewsArticle",
+        "headline": heading,
+        "author": {"@type": "Person", "name": author},
+        "publisher": {"@type": "Organization", "name": sitename},
+        "datePublished": date,
+        "articleSection": category,
+        "keywords": ", ".join(tags),
+    })
+    head = (
+        f"<title>{heading} - {sitename}</title>"
+        f'<meta property="og:title" content="{heading}"/>'
+        f'<meta property="og:site_name" content="{sitename}"/>'
+        f'<meta property="og:type" content="article"/>'
+        f'<meta name="author" content="{author}"/>'
+        f'<meta property="article:published_time" content="{date}T08:00:00Z"/>'
+        f'<script type="application/ld+json">{json_ld}</script>'
+    )
+    body = (
+        "<article><h1>" + heading + "</h1>"
+        + "".join(f"<p>{p}</p>" for p in paras)
+        + "</article>"
+    )
+    html = _wrap(head, body, lang)
+    expected = " ".join([heading] + paras)
+    # og:title wins; JSON-LD author overrides meta author (same value here);
+    # categories/tags come from JSON-LD.
+    return html, _mk_golden(
+        url, "metadata_rich", expected, title=heading, author=author,
+        sitename=sitename, date=date, categories=[category], tags=tags,
+    )
+
+
+def _gen_baseline_only(rng, url, lang):
+    words = _WORDS_EN
+    paras = [_paragraph(rng, words) for _ in range(rng.randint(4, 6))]
+    body = "".join(f"<p>{p}</p>" for p in paras)
+    html = _wrap("<title>bare page</title>", body, lang)
+    # No content container → wild-text recovery picks up bare <p>s.
+    expected = " ".join(paras)
+    return html, _mk_golden(url, "baseline_only", expected, title="bare page")
+
+
+def _gen_reject_short(rng, url, lang):
+    body = "<article><p>ok.</p></article>"
+    html = _wrap("<title>tiny</title>", body, lang)
+    return html, _mk_golden(url, "reject_short", "ok.", title="tiny", reject_reason=None)
+
+
+def _gen_giant_doc(rng, url, lang):
+    words = _WORDS_EN
+    heading = _sentence(rng, words)[:-1]
+    paras = [_paragraph(rng, words, 2) for _ in range(300)]
+    body = (
+        "<article><h1>" + heading + "</h1>"
+        + "".join(f"<p>{p}</p>" for p in paras)
+        + "</article>"
+    )
+    html = _wrap(f"<title>{heading}</title>", body, lang)
+    expected = " ".join([heading] + paras)
+    return html, _mk_golden(url, "giant_doc", expected, title=heading)
+
+
+_FAMILIES = (
+    (_gen_article_simple, 20),
+    (_gen_div_classed, 12),
+    (_gen_boilerplate_heavy, 15),
+    (_gen_linkfarm, 8),
+    (_gen_lists, 10),
+    (_gen_tables, 8),
+    (_gen_code_blocks, 6),
+    (_gen_comments_section, 8),
+    (_gen_metadata_rich, 8),
+    (_gen_baseline_only, 4),
+    (_gen_giant_doc, 1),
+)
+
+
+def generate_pages(n: int, seed: int = 42) -> list[Page]:
+    rng = random.Random(seed)
+    gens = [g for g, w in _FAMILIES for _ in range(w)]
+    pages: list[Page] = []
+    base_ts = datetime.datetime(2024, 1, 1, tzinfo=datetime.timezone.utc)
+    for i in range(n):
+        gen = rng.choice(gens)
+        lang = "de" if rng.random() < 0.12 else "en"
+        host = _host(rng)
+        url = f"https://{host}/articles/{i:06d}"
+        html, golden = gen(rng, url, lang)
+        if not golden["sitename"]:
+            # No og:site_name and no dot-part in <title> → the extractor
+            # falls back to the URL host (metadata.go:236-240).
+            golden["sitename"] = host
+        text_noise = html  # raw page text incl. noise (input_hint's `text`)
+        ts = base_ts + datetime.timedelta(seconds=i * 137)
+        pages.append(Page(url, ts, html.encode("utf-8"), text_noise, lang, golden))
+    return pages
+
+
+# ---------------------------------------------------------------------------
+# Parquet writing (pyarrow; no Spark needed at generation time)
+# ---------------------------------------------------------------------------
+
+def write_fixtures(out_dir: str, n: int, seed: int = 42) -> None:
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    pages = generate_pages(n, seed)
+
+    pages_table = pa.table({
+        "url": pa.array([p.url for p in pages], pa.string()),
+        "warc_ts": pa.array([p.warc_ts for p in pages], pa.timestamp("us", tz="UTC")),
+        "html": pa.array([p.html for p in pages], pa.binary()),
+        "text": pa.array([p.text for p in pages], pa.string()),
+        "lang": pa.array([p.lang for p in pages], pa.string()),
+    })
+    pq.write_table(pages_table, os.path.join(out_dir, "pages.parquet"))
+
+    g = [p.golden for p in pages]
+    golden_table = pa.table({
+        "url": pa.array([x["url"] for x in g], pa.string()),
+        "family": pa.array([x["family"] for x in g], pa.string()),
+        "content_text": pa.array([x["content_text"] for x in g], pa.string()),
+        "comments_text": pa.array([x["comments_text"] for x in g], pa.string()),
+        "title": pa.array([x["title"] for x in g], pa.string()),
+        "author": pa.array([x["author"] for x in g], pa.string()),
+        "sitename": pa.array([x["sitename"] for x in g], pa.string()),
+        "date": pa.array([x["date"] for x in g], pa.string()),
+        "categories": pa.array([x["categories"] for x in g], pa.list_(pa.string())),
+        "tags": pa.array([x["tags"] for x in g], pa.list_(pa.string())),
+    })
+    pq.write_table(golden_table, os.path.join(out_dir, "golden.parquet"))
+
+
+FIXTURE_ROOT = "/root/repo/fixtures"
+SCALES = {"smoke": 120, "correctness": 800, "bench": 4000}
+
+
+def ensure_fixtures(scale: str = "correctness") -> str:
+    """Generate (once) and return the fixture dir for a scale tier."""
+    import os
+
+    out_dir = os.path.join(FIXTURE_ROOT, scale)
+    marker = os.path.join(out_dir, "pages.parquet")
+    if not os.path.exists(marker):
+        write_fixtures(out_dir, SCALES[scale], seed=42)
+    return out_dir
+
+
+if __name__ == "__main__":
+    for scale in SCALES:
+        d = ensure_fixtures(scale)
+        print("fixtures ready:", d)

@@ -1,0 +1,190 @@
+"""The Arrow-vectorized Spark extraction kernel.
+
+One ``mapInPandas`` stage: batches of (url, warc_ts, html, text, lang)
+arrive as Arrow record batches; each row runs the pure extraction
+cascade (core.extract); results leave as Arrow batches with the output
+schema below. This is the Spark-side equivalent of the reference's whole
+per-document pipeline (SURVEY.md §3.4) — the only Python in the job, and
+it is batch-vectorized at the transport layer (Arrow), exactly as the
+north rule requires (no per-row Python UDFs at the DataFrame level).
+
+Scale notes:
+- HTML rows are fat (KBs-100KBs); callers should tune
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` down (256-1024).
+- A byte-cap pre-screen rejects pathological rows before parsing
+  (cheap "filter before you parse" — see SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+# Maximum html size we attempt to parse (bytes). Bigger payloads are
+# rejected with reject_reason=oversized — bounds straggler tasks at scale.
+DEFAULT_MAX_HTML_BYTES = 8 * 1024 * 1024
+
+OUTPUT_SCHEMA = StructType([
+    StructField("url", StringType()),
+    StructField("warc_ts", TimestampType()),
+    StructField("lang", StringType()),
+    StructField("content_text", StringType()),
+    StructField("comments_text", StringType()),
+    StructField("content_html", StringType()),
+    StructField("comments_html", StringType()),
+    StructField("title", StringType()),
+    StructField("author", StringType()),
+    StructField("meta_url", StringType()),
+    StructField("hostname", StringType()),
+    StructField("description", StringType()),
+    StructField("sitename", StringType()),
+    StructField("date", StringType()),
+    StructField("categories", ArrayType(StringType())),
+    StructField("tags", ArrayType(StringType())),
+    StructField("license", StringType()),
+    StructField("language", StringType()),
+    StructField("image", StringType()),
+    StructField("page_type", StringType()),
+    StructField("reject_reason", StringType()),
+    StructField(
+        "content_spans",
+        ArrayType(
+            StructType([
+                StructField("start", IntegerType()),
+                StructField("end", IntegerType()),
+                StructField("kind", StringType()),
+            ])
+        ),
+    ),
+])
+
+OUTPUT_COLUMNS = [f.name for f in OUTPUT_SCHEMA.fields]
+
+
+def compute_spans(content_node, content_text: str) -> list[dict]:
+    """Span offsets of each top-level content element within
+    content_text (north-rule requirement). Spans are located by
+    sequential search of each child's flattened text."""
+    from . import etree
+
+    if content_node is None or not content_text:
+        return []
+    spans = []
+    pos = 0
+    for child in etree.children_of(content_node):
+        from .utils import trim
+
+        child_text = trim(etree.iter_text(child, " "))
+        if not child_text:
+            continue
+        idx = content_text.find(child_text, pos)
+        if idx < 0:
+            # fall back to unanchored search (overlapping whitespace forms)
+            idx = content_text.find(child_text)
+            if idx < 0:
+                continue
+        spans.append({"start": idx, "end": idx + len(child_text), "kind": child.tag})
+        pos = idx + len(child_text)
+    return spans
+
+
+def _extract_row(url, warc_ts, html, lang, options) -> dict:
+    from . import etree
+    from .core import ExtractError, extract
+
+    out = {
+        "url": url, "warc_ts": warc_ts, "lang": lang,
+        "content_text": None, "comments_text": None,
+        "content_html": None, "comments_html": None,
+        "title": None, "author": None, "meta_url": None, "hostname": None,
+        "description": None, "sitename": None, "date": None,
+        "categories": None, "tags": None, "license": None,
+        "language": None, "image": None, "page_type": None,
+        "reject_reason": None, "content_spans": None,
+    }
+
+    if html is None:
+        out["reject_reason"] = "null_html"
+        return out
+    if isinstance(html, str):
+        html = html.encode("utf-8", "replace")
+    if len(html) > options.max_html_bytes:
+        out["reject_reason"] = "oversized"
+        return out
+    # Cheap byte screen before parsing: must look like markup.
+    head = html[:512].lstrip()
+    if not head[:1] == b"<" and b"<html" not in head.lower() and b"<!doctype" not in head.lower():
+        if b"<" not in head:
+            out["reject_reason"] = "not_html"
+            return out
+
+    opts = options.make_options(url)
+    try:
+        res = extract(html, opts)
+    except ExtractError as e:
+        out["reject_reason"] = e.reason
+        return out
+    except Exception:
+        out["reject_reason"] = "parse_error"
+        return out
+
+    m = res.metadata
+    out.update(
+        content_text=res.content_text,
+        comments_text=res.comments_text,
+        content_html=etree.tostring(res.content_node) if res.content_node is not None else "",
+        comments_html=etree.tostring(res.comments_node) if res.comments_node is not None else "",
+        title=m.title, author=m.author, meta_url=m.url, hostname=m.hostname,
+        description=m.description, sitename=m.sitename, date=m.date,
+        categories=m.categories, tags=m.tags, license=m.license,
+        language=m.language, image=m.image, page_type=m.page_type,
+        content_spans=compute_spans(res.content_node, res.content_text),
+    )
+    return out
+
+
+class KernelOptions:
+    """Picklable kernel configuration broadcast to executors via the
+    mapInPandas closure (the reference's Options, SURVEY.md §1.4)."""
+
+    def __init__(self, opts_dict: dict | None = None,
+                 max_html_bytes: int = DEFAULT_MAX_HTML_BYTES):
+        self.opts_dict = opts_dict or {}
+        self.max_html_bytes = max_html_bytes
+
+    def make_options(self, url: str):
+        from .options import Options
+
+        opts = Options.from_dict(self.opts_dict)
+        opts.original_url = url
+        return opts
+
+
+def make_kernel(kernel_options: KernelOptions | None = None):
+    """Build the mapInPandas function. Closure-captured options are
+    serialized once per task, not per row."""
+    ko = kernel_options or KernelOptions()
+
+    def extract_batches(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            urls = pdf["url"].tolist()
+            htmls = pdf["html"].tolist()
+            langs = pdf["lang"].tolist() if "lang" in pdf else [None] * len(urls)
+            tss = pdf["warc_ts"].tolist() if "warc_ts" in pdf else [None] * len(urls)
+            rows = [
+                _extract_row(u, t, h, lg, ko)
+                for u, t, h, lg in zip(urls, tss, htmls, langs)
+            ]
+            yield pd.DataFrame(rows, columns=OUTPUT_COLUMNS)
+
+    return extract_batches

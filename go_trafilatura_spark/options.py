@@ -64,6 +64,10 @@ class Options:
     def from_dict(cls, d: dict) -> "Options":
         opts = cls()
         for k, v in (d or {}).items():
-            if hasattr(opts, k):
+            if k == "config" and isinstance(v, dict):
+                for ck, cv in v.items():
+                    if hasattr(opts.config, ck):
+                        setattr(opts.config, ck, cv)
+            elif hasattr(opts, k):
                 setattr(opts, k, v)
         return opts

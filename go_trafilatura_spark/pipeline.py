@@ -1,0 +1,209 @@
+"""DataFrame pipeline: scan → skew-safe salted repartition → Arrow
+kernel → sink, plus the resumable per-partition lineage manifest.
+
+This is the Spark lifecycle from SURVEY.md §3.4:
+
+    spark.read.parquet(pages)                 -- Catalyst scan, col pruning
+      .where(optional lang/size prefilter)    -- predicate pushdown
+      .repartition(N, salted url hash)        -- explicit skew-safe shuffle
+      .mapInPandas(extract_kernel, OUT)       -- Arrow batches → cascade
+      .write.parquet(...)                     -- idempotent per-shard commit
+
+Design for 100 TB / 1000 executors:
+- Column pruning: we select exactly (url, warc_ts, html, lang) before the
+  kernel; Catalyst pushes the projection into the parquet scan so `text`
+  (the widest column after html) is never read.
+- Skew: Common-Crawl rows cluster by host; a pure url hash is fine for
+  CPU-uniform work, but giant-host skew at read time is defeated with
+  xxhash64(url) ⊕ a per-row salt over SALT_BUCKETS. AQE coalesces small
+  partitions after the exchange.
+- Arrow batches are capped (maxRecordsPerBatch) because rows are fat.
+- Resume: each task writes a manifest row (partition id, input split
+  hash, row count). A re-run anti-joins the manifest to skip completed
+  shards; the parquet commit protocol keeps retries idempotent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .kernel import OUTPUT_SCHEMA, KernelOptions, make_kernel
+
+SALT_BUCKETS = 64
+ARROW_BATCH_SIZE = 512
+
+
+def build_session(
+    app_name: str = "go-trafilatura-spark",
+    master: str | None = None,
+    shuffle_partitions: int = 32,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Session tuned for the extraction workload (AQE on, Arrow on,
+    small Arrow batches for fat HTML rows)."""
+    master = master or os.environ.get("SPARK_MASTER", "local[*]")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_SIZE))
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def read_pages(spark: SparkSession, path: str) -> DataFrame:
+    """Scan the pages table (url, warc_ts, html, text, lang)."""
+    return spark.read.parquet(path)
+
+
+def salted_repartition(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Explicit skew-safe shuffle: url-hash with per-row salt so that a
+    heavy host (many urls hashing near each other after a host-prefix
+    pattern) still spreads over SALT_BUCKETS partitions."""
+    n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    salt = (F.xxhash64(F.col("url")) % SALT_BUCKETS).cast("int")
+    return df.repartition(int(n), F.xxhash64(F.col("url"), salt))
+
+
+def extract_pages(
+    df: DataFrame,
+    options: dict | None = None,
+    num_partitions: int | None = None,
+    lang_filter: str | None = None,
+    repartition: bool = True,
+) -> DataFrame:
+    """The flagship operator: pages → extracted columns.
+
+    ``options`` is the plain-dict form of core Options (broadcast via
+    closure). ``lang_filter`` is a cheap pre-parse predicate pushed into
+    the parquet scan (the input `lang` column), mirroring the
+    reference's language gate short-circuit (SURVEY.md §2.2).
+    """
+    cols = [c for c in ("url", "warc_ts", "html", "lang") if c in df.columns]
+    pruned = df.select(*cols)
+    if lang_filter:
+        pruned = pruned.where(F.col("lang") == lang_filter)
+    if repartition:
+        pruned = salted_repartition(pruned, num_partitions)
+    kernel = make_kernel(KernelOptions(options or {}))
+    return pruned.mapInPandas(kernel, OUTPUT_SCHEMA)
+
+
+def extracted_ok(df: DataFrame) -> DataFrame:
+    """Keep successfully extracted rows (reject_reason is NULL)."""
+    return df.where(F.col("reject_reason").isNull())
+
+
+def write_extracted(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Sink: parquet, partitioned by hostname bucket for downstream
+    pruning. (On a real deployment this is an Iceberg
+    overwritePartitions for snapshot-isolated idempotent retries.)"""
+    df.withColumn(
+        "host_bucket", F.pmod(F.xxhash64("url"), F.lit(256)).cast("int")
+    ).write.mode(mode).parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Resume manifest: batch-level per-partition lineage (SURVEY.md §2.14/§4)
+# ---------------------------------------------------------------------------
+
+def manifest_path(output_path: str) -> str:
+    return output_path.rstrip("/") + "_manifest"
+
+
+def extract_pages_resumable(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    options: dict | None = None,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Idempotent, resumable extraction over a pages table.
+
+    Work is bucketed by xxhash64(url) % num_partitions; each completed
+    bucket commits its output under bucket=<id>/ plus a manifest row
+    (bucket id, row count). A re-run reads the manifest and processes
+    only missing buckets — per-partition lineage + checkpointed resume
+    per the north rule. Parquet's task-commit protocol makes partial
+    task retries invisible; bucket-level manifests make whole-job
+    restarts cheap.
+    """
+    df = read_pages(spark, input_path)
+    df = df.withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(num_partitions)).cast("int")
+    )
+
+    mpath = manifest_path(output_path)
+    done_buckets: set[int] = set()
+    try:
+        mdf = spark.read.parquet(mpath)
+        done_buckets = {r["bucket"] for r in mdf.select("bucket").distinct().collect()}
+    except Exception:
+        pass  # no manifest yet
+
+    todo = df.where(~F.col("bucket").isin(sorted(done_buckets))) if done_buckets else df
+
+    result = extract_pages(todo.drop("bucket"), options, num_partitions)
+    result = result.withColumn(
+        "bucket", F.pmod(F.xxhash64("url"), F.lit(num_partitions)).cast("int")
+    )
+    result.write.mode("append").partitionBy("bucket").parquet(output_path)
+
+    # Commit manifest rows for the buckets that just completed
+    out = spark.read.parquet(output_path)
+    counts = out.groupBy("bucket").agg(F.count("*").alias("row_count"))
+    new_manifest = counts.where(
+        ~F.col("bucket").isin(sorted(done_buckets)) if done_buckets else F.lit(True)
+    )
+    new_manifest.withColumn("input_path", F.lit(input_path)).write.mode(
+        "append"
+    ).parquet(mpath)
+
+    return spark.read.parquet(output_path)
+
+
+# ---------------------------------------------------------------------------
+# Golden comparison + corpus eval (SURVEY.md §2.10/§2.11)
+# ---------------------------------------------------------------------------
+
+def join_golden(extracted: DataFrame, golden: DataFrame) -> DataFrame:
+    """Broadcast equi-join of extraction output with the golden table
+    and per-row byte-parity verdicts (the reference's comparison
+    harness, scripts/comparison/content.go:345-383, as one Spark plan)."""
+    g = F.broadcast(golden.select(
+        F.col("url"),
+        F.col("content_text").alias("expected_text"),
+        F.col("comments_text").alias("expected_comments"),
+    ))
+    joined = extracted.join(g, "url", "inner")
+    return joined.withColumn(
+        "text_match", (F.col("content_text") == F.col("expected_text")).cast("int")
+    ).withColumn(
+        "comments_match",
+        (
+            (F.col("expected_comments") == "")
+            | (F.col("comments_text") == F.col("expected_comments"))
+        ).cast("int"),
+    )
+
+
+def eval_metrics(scored: DataFrame) -> DataFrame:
+    """Aggregate parity rates (partial+final agg is free from Catalyst)."""
+    return scored.agg(
+        F.count("*").alias("docs"),
+        F.sum("text_match").alias("text_matches"),
+        F.sum("comments_match").alias("comments_matches"),
+        F.avg("text_match").alias("text_match_rate"),
+    )

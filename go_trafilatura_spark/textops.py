@@ -1,0 +1,332 @@
+"""Corpus-level training-data operations over the `documents` and
+`embeddings` tables: dedup family (exact, MinHash+LSH, SimHash, n-gram
+Jaccard, embedding cosine), language-ID heuristic, quality scoring,
+token counting, fingerprinting, and ANN similarity search.
+
+These are DataFrame/Catalyst-level ops (no Python UDFs anywhere — every
+expression is JVM-side, whole-stage-codegen eligible). Each op has a
+DuckDB oracle twin in __spark_entry__.oracle_sql(); to make the two
+engines produce *bit-identical* results we only use portable primitives:
+
+- token hash: first 15 hex chars of md5 → BIGINT (portable across
+  Spark's conv() and DuckDB's hex cast), so MinHash/SimHash signatures
+  agree exactly;
+- integer arithmetic everywhere signatures are built (no float order
+  dependence);
+- cosine scores rounded to 4 decimals before compare.
+
+Scale notes (100 TB): every groupBy here keys on doc_id or a hash —
+uniform, no skew. MinHash is explode → partial min (map-side combine)
+→ final min: one shuffle of (doc_id, sig) pairs, not of raw text.
+LSH banding turns the O(n²) near-dup join into an equi-join on band
+keys, which AQE can plan as a sort-merge join with skew splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# Mersenne prime 2^31-1; LCG-style permutation constants (public-domain
+# numerical recipes constants).
+MINHASH_PRIME = 2147483647
+MINHASH_PERMS = ((1664525, 1013904223), (22695477, 1), (69069, 362437), (1103515245, 12345))
+
+SIMHASH_BITS = 16
+
+# Small stopword sets for the SQL-portable language heuristic
+LANG_STOPWORDS = {
+    "en": ("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "de": ("der", "die", "und", "das", "ist", "von", "mit", "den", "ein", "zu"),
+    "fr": ("le", "la", "les", "des", "est", "dans", "pour", "que", "une", "et"),
+    "es": ("el", "la", "los", "las", "es", "en", "que", "de", "por", "una"),
+}
+
+
+def tokens_col(text_col: str = "text"):
+    """Whitespace tokenization of trimmed text (portable: both engines
+    regexp-split on \\s+)."""
+    return F.split(F.trim(F.col(text_col)), r"\s+")
+
+
+def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("tokens", tokens_col(text_col))
+
+
+# -- token counting ---------------------------------------------------------
+
+def token_counts(df: DataFrame) -> DataFrame:
+    """Per-document token statistics. Pure projection — no shuffle."""
+    return with_tokens(df).select(
+        "doc_id",
+        F.size("tokens").alias("n_tokens"),
+        F.size(F.array_distinct("tokens")).alias("n_unique_tokens"),
+        F.length(F.trim(F.col("text"))).alias("n_chars_text"),
+    )
+
+
+# -- fingerprinting ----------------------------------------------------------
+
+def fingerprints(df: DataFrame) -> DataFrame:
+    """Deterministic document fingerprint: md5 of the
+    whitespace-normalized, lowercased text (the DF-level analogue of the
+    reference's dedup key — trim semantics per utils-common.go:31)."""
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return df.select(
+        "doc_id",
+        F.md5(normalized).alias("fingerprint"),
+    )
+
+
+# -- exact dedup -------------------------------------------------------------
+
+def exact_dedup_flags(df: DataFrame) -> DataFrame:
+    """Exact duplicate detection via fingerprint window: the first
+    doc_id of each fingerprint group is the keeper. One hash-partitioned
+    shuffle on the fingerprint (uniform key)."""
+    from pyspark.sql import Window
+
+    normalized = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    return (
+        df.select("doc_id", F.md5(normalized).alias("fingerprint"))
+        .withColumn("dup_rank", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "fingerprint",
+            (F.col("dup_rank") > 1).cast("int").alias("is_duplicate"),
+        )
+    )
+
+
+# -- portable token/shingle hashing ------------------------------------------
+
+def _md5_bigint(col):
+    """First 15 hex chars of md5 → BIGINT ∈ [0, 2^60). Same value as
+    DuckDB's ('0x' || substr(md5(x),1,15))::BIGINT."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
+
+
+def shingles_expr(k: int = 3):
+    """SQL expression producing the array of k-token shingles (Spark
+    subscripts are 1-based via element_at)."""
+    parts = ", ' ', ".join(f"element_at(tokens, i + {j})" for j in range(k))
+    return F.expr(
+        f"transform(sequence(1, greatest(size(tokens) - {k - 1}, 0)),"
+        f" i -> concat({parts}))"
+    )
+
+
+# -- MinHash + LSH -----------------------------------------------------------
+
+def minhash_signatures(df: DataFrame, k_shingle: int = 3) -> DataFrame:
+    """MinHash signatures over k-token shingles.
+
+    Plan shape: project → explode → hash → groupBy(doc_id).min(sig_i).
+    The min() aggregation gets a map-side partial (Catalyst does this
+    automatically), so the shuffle carries one row per doc per partition,
+    not one per shingle — the property that keeps this viable at 10^12
+    docs.
+    """
+    shingled = with_tokens(df).select(
+        "doc_id", F.explode(shingles_expr(k_shingle)).alias("shingle")
+    )
+    h = _md5_bigint(F.col("shingle")) % MINHASH_PRIME
+    hashed = shingled.select("doc_id", h.alias("h"))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(f"sig{i}")
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(df: DataFrame, k_shingle: int = 3) -> DataFrame:
+    """Candidate near-duplicate pairs via LSH banding (2 bands × 2 rows):
+    docs agreeing on a full band are candidates. Equi-join on band keys —
+    no O(n²) comparison ever materializes."""
+    sigs = minhash_signatures(df, k_shingle)
+    bands = sigs.select(
+        "doc_id",
+        F.concat_ws("_", F.col("sig0"), F.col("sig1")).alias("band0"),
+        F.concat_ws("_", F.col("sig2"), F.col("sig3")).alias("band1"),
+    )
+    pairs = None
+    for band in ("band0", "band1"):
+        a = bands.select(F.col("doc_id").alias("doc_a"), F.col(band).alias("key"))
+        b = bands.select(F.col("doc_id").alias("doc_b"), F.col(band).alias("key"))
+        p = a.join(b, "key").where(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct()
+
+
+# -- SimHash -----------------------------------------------------------------
+
+def simhash(df: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """SimHash over token hashes: bit b of the signature is 1 iff more
+    than half the tokens have bit b set in their md5-derived hash.
+    Integer-only → bit-identical across engines. One uniform groupBy."""
+    toks = with_tokens(df).select("doc_id", F.explode("tokens").alias("tok"))
+    h = _md5_bigint(F.col("tok"))
+    hashed = toks.select("doc_id", h.alias("h"))
+    bit_sums = [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))).alias(f"s{b}")
+        for b in range(bits)
+    ]
+    agg = hashed.groupBy("doc_id").agg(F.count("*").alias("n"), *bit_sums)
+    sim = None
+    for b in range(bits):
+        bit = (F.col(f"s{b}") * 2 > F.col("n")).cast("bigint") * F.lit(1 << b)
+        sim = bit if sim is None else sim + bit
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+# -- n-gram Jaccard ----------------------------------------------------------
+
+def ngram_jaccard_pairs(df: DataFrame, k_shingle: int = 3, threshold: float = 0.2) -> DataFrame:
+    """Exact Jaccard over k-token shingle sets for candidate pairs that
+    share at least one shingle (inverted-index join → group by pair →
+    |∩| from match count, |∪| by inclusion-exclusion). The shared-shingle
+    equi-join replaces the all-pairs product; at scale, combine with
+    minhash_lsh_pairs as the candidate generator instead."""
+    sh = with_tokens(df).select(
+        "doc_id", F.explode(F.array_distinct(shingles_expr(k_shingle))).alias("shingle")
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    jac = (
+        inter.join(sa, "doc_a").join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common")), 4
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+    return jac
+
+
+# -- quality scoring ----------------------------------------------------------
+
+def quality_scores(df: DataFrame) -> DataFrame:
+    """Integer-component quality features + one ratio (deterministic
+    IEEE division). Pure projection + no shuffle."""
+    en_sw = LANG_STOPWORDS["en"]
+    toks = with_tokens(df)
+    in_list = ", ".join(f"'{w}'" for w in en_sw)
+    return toks.select(
+        "doc_id",
+        F.size("tokens").alias("n_tokens"),
+        F.length(F.trim(F.col("text"))).alias("n_chars_text"),
+        F.expr(f"size(filter(tokens, t -> t in ({in_list})))").alias("n_stopwords"),
+        F.size(F.array_distinct("tokens")).alias("n_unique"),
+        (
+            F.expr(f"size(filter(tokens, t -> t in ({in_list})))")
+            / F.size("tokens")
+        ).alias("stopword_ratio"),
+    )
+
+
+# -- language-ID heuristic -----------------------------------------------------
+
+def lang_id_heuristic(df: DataFrame) -> DataFrame:
+    """Stopword-frequency language scores per doc + argmax. All
+    integer counts; argmax broken by fixed language order."""
+    toks = with_tokens(df)
+    cols = ["doc_id"]
+    for lang, words in LANG_STOPWORDS.items():
+        in_list = ", ".join(f"'{w}'" for w in words)
+        cols.append(
+            F.expr(f"size(filter(tokens, t -> t in ({in_list})))").alias(f"hits_{lang}")
+        )
+    scored = toks.select(*cols)
+    langs = list(LANG_STOPWORDS)
+    best = F.greatest(*[F.col(f"hits_{lg}") for lg in langs])
+    pred = F.when(best <= 0, F.lit(""))
+    for lg in langs:
+        pred = pred.when(F.col(f"hits_{lg}") == best, F.lit(lg))
+    return scored.withColumn("pred_lang", pred)
+
+
+# -- embedding similarity ------------------------------------------------------
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine_expr(a, b):
+    return F.round(_dot(a, b) / F.sqrt(_dot(a, a) * _dot(b, b)), 4)
+
+
+def ann_bruteforce_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 10) -> DataFrame:
+    """Brute-force cosine top-k against one query vector. The query row
+    broadcasts (1 row); the scan stays JVM-side vectorized."""
+    q = emb.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qvec")
+    )
+    scored = emb.crossJoin(F.broadcast(q)).select(
+        "vec_id", cosine_expr(F.col("embedding"), F.col("qvec")).alias("cosine")
+    )
+    return (
+        scored.where(F.col("vec_id") != query_vec_id)
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
+def _sign_bucket(vec, n_bits: int = 8):
+    """LSH bucket from the sign bits of the first n dims (an IVF-like
+    coarse quantizer that needs no training — the scale path: search only
+    the query's bucket, ~2^-n of the corpus)."""
+    bucket = F.lit(0)
+    for i in range(n_bits):
+        bucket = bucket + (
+            (F.element_at(vec, i + 1) > 0).cast("int") * F.lit(1 << i)
+        )
+    return bucket
+
+
+def ann_lsh_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 5, n_bits: int = 8) -> DataFrame:
+    """Bucketed ANN: restrict the scan to the query's sign-bit bucket.
+    At 100 TB the bucket column is a partition key, so this becomes a
+    partition-pruned scan instead of a full pass."""
+    bucketed = emb.withColumn("bucket", _sign_bucket(F.col("embedding"), n_bits))
+    q = bucketed.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("qvec"), F.col("bucket").alias("qbucket")
+    )
+    scored = (
+        bucketed.join(F.broadcast(q), F.col("bucket") == F.col("qbucket"))
+        .where(F.col("vec_id") != query_vec_id)
+        .select("vec_id", "bucket", cosine_expr(F.col("embedding"), F.col("qvec")).alias("cosine"))
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(k)
+
+
+def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.99) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, label-blocked to bound the
+    pair space (at scale: block on the LSH bucket instead)."""
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("label").alias("label"),
+                   F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("label"),
+                   F.col("embedding").alias("eb"))
+    pairs = (
+        a.join(b, "label")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cosine_expr(F.col("ea"), F.col("eb")).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+    return pairs
