@@ -442,15 +442,18 @@ def inner_html(el: Element) -> str:
     return "".join(out)
 
 
-_ESCAPES = {"&": "&amp;", "<": "&lt;", ">": "&gt;"}
-
-
 def _escape_text(s: str) -> str:
-    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    # Same escape set as x/net/html's Render: & ' < > "
+    return (
+        s.replace("&", "&amp;")
+        .replace("'", "&#39;")
+        .replace("<", "&lt;")
+        .replace(">", "&gt;")
+        .replace('"', "&#34;")
+    )
 
 
-def _escape_attr(s: str) -> str:
-    return s.replace("&", "&amp;").replace('"', "&quot;")
+_escape_attr = _escape_text
 
 
 def _serialize(el: Element, out: list[str]) -> None:

@@ -150,6 +150,15 @@ _NEGATIVE = re.compile(
     r"skyscraper|sponsor|shopping|tags|tool|widget"
 )
 _SCORE_TAGS = frozenset("p pre td blockquote".split())
+
+# readability.js prep: strip unlikely candidates before scoring
+_UNLIKELY = re.compile(
+    r"(?i)-ad-|ai2html|banner|breadcrumbs|combx|comment|community|cover-wrap|"
+    r"disqus|extra|footer|gdpr|header|legends|menu|related|remark|replies|"
+    r"rss|shoutbox|sidebar|skyscraper|social|sponsor|supplemental|ad-break|"
+    r"agegate|pagination|pager|popup|yom-remote|share"
+)
+_OK_MAYBE = re.compile(r"(?i)and|article|body|column|content|main|shadow")
 _DIV_BLOCK_CHILDREN = frozenset(
     "a blockquote dl div img ol p pre table ul select".split()
 )
@@ -163,6 +172,20 @@ def readability_candidate(doc: Element) -> Element | None:
     if body is None:
         return None
     work = etree.clone(body, True)
+
+    # prepDocument: drop non-content machinery before scoring
+    etree.strip_elements(work, False, "script", "style", "noscript", "template", "iframe")
+
+    # Remove unlikely candidates (readability.js removeUnlikelyCandidates)
+    for el in reversed(etree.get_elements_by_tag(work, "*")):
+        match_str = el.get("class") + " " + el.get("id")
+        if (
+            _UNLIKELY.search(match_str)
+            and not _OK_MAYBE.search(match_str)
+            and el.tag not in ("body", "a")
+            and el.parent is not None
+        ):
+            etree.remove(el, keep_tail=True)
 
     # div → p transform for divs with no block-level children
     for el in reversed(etree.get_elements_by_tag(work, "div")):

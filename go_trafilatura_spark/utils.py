@@ -21,10 +21,15 @@ from .etree import Element
 
 
 def trim(s: str) -> str:
-    """Collapse all whitespace runs to single spaces and strip.
-    Same as Go strings.Join(strings.Fields(s), " ")."""
+    """Collapse all whitespace runs to single spaces and strip; remove
+    soft hyphens (U+00AD). The whitespace handling matches Go
+    strings.Join(strings.Fields(s), " "); the soft-hyphen removal
+    matches trafilatura's line trimming (its golden expectations, e.g.
+    realworld_test.go:113, contain the de-hyphenated text)."""
     if not s:
         return ""
+    if "­" in s:
+        s = s.replace("­", "")
     return " ".join(s.split())
 
 
