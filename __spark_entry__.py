@@ -172,6 +172,43 @@ def q_embedding_neardup(spark, sf_dir):
     return textops.embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.95)
 
 
+def q_text_output(spark, sf_dir):
+    """Text sink over the fixture corpus (content + comments + newline)."""
+    from go_trafilatura_spark.sinks import text_output
+
+    _ensure_fixtures()
+    pages = spark.read.parquet(PAGES_PARQUET)
+    out = extract_pages(pages, num_partitions=8)
+    return text_output(out.where(F.col("reject_reason").isNull())).select(
+        "url", "text_output"
+    )
+
+
+def q_json_output(spark, sf_dir):
+    """JSON sink (built-in to_json) — rows-only check (JSON formatting
+    differs across engines)."""
+    from go_trafilatura_spark.sinks import json_output
+
+    _ensure_fixtures()
+    pages = spark.read.parquet(PAGES_PARQUET)
+    out = extract_pages(pages, num_partitions=8)
+    return json_output(out.where(F.col("reject_reason").isNull())).select(
+        "url", "json_output"
+    )
+
+
+def q_readable_html(spark, sf_dir):
+    """Readable-HTML sink — rows-only check."""
+    from go_trafilatura_spark.sinks import readable_html
+
+    _ensure_fixtures()
+    pages = spark.read.parquet(PAGES_PARQUET)
+    out = extract_pages(pages, num_partitions=8)
+    return readable_html(out.where(F.col("reject_reason").isNull())).select(
+        "url", "readable_html"
+    )
+
+
 def q_host_stats(spark, sf_dir):
     """Relational demo over the fixture pages: per-host doc counts and
     html size stats (host skew visibility — the salting rationale)."""
@@ -207,6 +244,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "embedding_neardup": q_embedding_neardup,
         "host_stats": q_host_stats,
+        "text_output": q_text_output,
+        "json_output": q_json_output,
+        "readable_html": q_readable_html,
     }
 
 
@@ -404,6 +444,11 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
 FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.95""",
+        "text_output": f"""
+SELECT url,
+       (CASE WHEN comments_text <> '' THEN content_text || ' ' || comments_text
+             ELSE content_text END) || chr(10) AS text_output
+FROM read_parquet('{golden}')""",
         "host_stats": (
             f"SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host, "
             f"count(*) AS n_pages, sum(octet_length(html)) AS total_bytes "

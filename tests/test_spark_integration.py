@@ -1,0 +1,167 @@
+"""Spark integration: pipeline byte-parity, column pruning, resume
+manifest, streaming, multimodal plumbing. One shared local session."""
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from go_trafilatura_spark.fixtures import ensure_fixtures
+from go_trafilatura_spark.pipeline import (
+    build_session,
+    eval_metrics,
+    extract_pages,
+    extract_pages_resumable,
+    join_golden,
+    read_pages,
+)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = build_session(app_name="it-tests", master="local[4]", shuffle_partitions=8)
+    yield s
+    s.stop()
+
+
+@pytest.fixture(scope="module")
+def smoke_dir():
+    return ensure_fixtures("smoke")
+
+
+def test_pipeline_byte_parity(spark, smoke_dir):
+    pages = read_pages(spark, os.path.join(smoke_dir, "pages.parquet"))
+    out = extract_pages(pages)
+    golden = spark.read.parquet(os.path.join(smoke_dir, "golden.parquet"))
+    scored = join_golden(out, golden)
+    row = eval_metrics(scored).collect()[0]
+    assert row["docs"] == pages.count()
+    assert row["text_matches"] == row["docs"]
+    assert row["comments_matches"] == row["docs"]
+
+
+def test_column_pruning(spark, smoke_dir):
+    """The kernel must not read the wide `text` column: the parquet scan
+    ReadSchema should be pruned to url/warc_ts/html/lang."""
+    pages = read_pages(spark, os.path.join(smoke_dir, "pages.parquet"))
+    out = extract_pages(pages)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" not in read_schema.split("ReadSchema")[1]
+    assert "html" in read_schema
+
+
+def test_spans(spark, smoke_dir):
+    pages = read_pages(spark, os.path.join(smoke_dir, "pages.parquet"))
+    out = extract_pages(pages).where(F.col("reject_reason").isNull())
+    sample = out.select("content_text", "content_spans").limit(20).collect()
+    assert sample
+    for row in sample:
+        spans = row["content_spans"]
+        assert spans, "expected at least one span"
+        prev_end = 0
+        for sp in spans:
+            assert 0 <= sp["start"] < sp["end"] <= len(row["content_text"])
+            assert sp["start"] >= prev_end
+            prev_end = sp["start"]
+            # the span slice round-trips
+        first = spans[0]
+        assert row["content_text"][first["start"]:first["end"]].strip() != ""
+
+
+def test_resume_manifest(spark, smoke_dir):
+    tmp = tempfile.mkdtemp(prefix="gts_resume_")
+    try:
+        out_path = os.path.join(tmp, "out")
+        df1 = extract_pages_resumable(
+            spark, os.path.join(smoke_dir, "pages.parquet"), out_path,
+            num_partitions=4,
+        )
+        n1 = df1.count()
+        assert n1 > 0
+        # Second run: all buckets complete → no new rows appended
+        df2 = extract_pages_resumable(
+            spark, os.path.join(smoke_dir, "pages.parquet"), out_path,
+            num_partitions=4,
+        )
+        assert df2.count() == n1
+        manifest = spark.read.parquet(out_path + "_manifest")
+        assert manifest.select("bucket").distinct().count() == 4
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_extraction(spark, smoke_dir):
+    from go_trafilatura_spark.streaming import start_extraction_stream
+
+    tmp = tempfile.mkdtemp(prefix="gts_stream_")
+    try:
+        in_dir = os.path.join(tmp, "in")
+        os.makedirs(in_dir)
+        # Two shards of pages → two micro-batches
+        pages = read_pages(spark, os.path.join(smoke_dir, "pages.parquet")).limit(40)
+        pages.coalesce(2).write.parquet(os.path.join(tmp, "staged"))
+        staged = [
+            f for f in os.listdir(os.path.join(tmp, "staged")) if f.endswith(".parquet")
+        ]
+        for i, f in enumerate(staged):
+            shutil.copy(
+                os.path.join(tmp, "staged", f), os.path.join(in_dir, f"shard{i}.parquet")
+            )
+
+        query = start_extraction_stream(
+            spark, in_dir,
+            os.path.join(tmp, "out"), os.path.join(tmp, "ckpt"),
+            max_files_per_trigger=1,
+        )
+        query.processAllAvailable()
+        query.stop()
+
+        out = spark.read.parquet(os.path.join(tmp, "out"))
+        assert out.count() == 40
+        assert out.where(F.col("content_text").isNotNull()).count() > 0
+
+        # Restart with same checkpoint: no duplicates (exactly-once sink)
+        query2 = start_extraction_stream(
+            spark, in_dir,
+            os.path.join(tmp, "out"), os.path.join(tmp, "ckpt"),
+        )
+        query2.processAllAvailable()
+        query2.stop()
+        assert spark.read.parquet(os.path.join(tmp, "out")).count() == 40
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_multimodal_plumbing(spark):
+    from go_trafilatura_spark.multimodal import (
+        MEDIA_SCHEMA, image_features, resize_images, sample_video_frames,
+    )
+
+    rows = [
+        (f"m{i}", "image" if i % 2 == 0 else "video", "application/octet-stream",
+         bytes([i]) * 32, None, None, None)
+        for i in range(10)
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+    feats = image_features(media).collect()
+    assert len(feats) == 5
+    for r in feats:
+        assert r["width"] == 8 and r["height"] == 8
+        assert 0.0 <= r["mean_luma"] <= 1.0
+        assert len(r["phash"]) == 16
+
+    resized = resize_images(media, 4, 4).collect()
+    assert len(resized) == 5
+    assert all(len(r["embedding"]) == 16 for r in resized)
+
+    frames = sample_video_frames(media, n_frames=3).collect()
+    assert len(frames) == 15  # 5 videos × 3 frames
+
+    # Determinism: same payload → same features
+    feats2 = image_features(media).collect()
+    assert sorted(r["phash"] for r in feats) == sorted(r["phash"] for r in feats2)
