@@ -209,6 +209,25 @@ def q_readable_html(spark, sf_dir):
     )
 
 
+def q_extract_spans(spark, sf_dir):
+    """Span offsets per url (flattened): byte-exact vs the generator's
+    predicted spans."""
+    _ensure_fixtures()
+    pages = spark.read.parquet(PAGES_PARQUET)
+    out = extract_pages(pages, num_partitions=8)
+    return (
+        out.where(F.col("reject_reason").isNull())
+        .select("url", F.posexplode("content_spans").alias("span_idx", "span"))
+        .select(
+            "url",
+            F.col("span_idx").cast("bigint").alias("span_idx"),
+            F.col("span.start").cast("bigint").alias("span_start"),
+            F.col("span.end").cast("bigint").alias("span_end"),
+            F.col("span.kind").alias("span_kind"),
+        )
+    )
+
+
 def q_host_stats(spark, sf_dir):
     """Relational demo over the fixture pages: per-host doc counts and
     html size stats (host skew visibility — the salting rationale)."""
@@ -243,6 +262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
         "embedding_neardup": q_embedding_neardup,
+        "extract_spans": q_extract_spans,
         "host_stats": q_host_stats,
         "text_output": q_text_output,
         "json_output": q_json_output,
@@ -444,6 +464,13 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
 FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.95""",
+        "extract_spans": f"""
+SELECT url,
+       (unnest(generate_series(1, len(span_starts))) - 1)::BIGINT AS span_idx,
+       unnest(span_starts)::BIGINT AS span_start,
+       unnest(span_ends)::BIGINT AS span_end,
+       unnest(span_kinds) AS span_kind
+FROM read_parquet('{golden}')""",
         "text_output": f"""
 SELECT url,
        (CASE WHEN comments_text <> '' THEN content_text || ' ' || comments_text

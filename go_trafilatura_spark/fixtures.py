@@ -79,11 +79,29 @@ class Page:
         self.golden = golden
 
 
+def _spans_from_parts(parts):
+    """Predict the kernel's content_spans: each top-level element's
+    flattened text located sequentially in the joined content text."""
+    spans = []
+    pos = 0
+    for kind, text in parts:
+        if not text:
+            continue
+        start = pos
+        end = start + len(text)
+        spans.append((start, end, kind))
+        pos = end + 1  # the single-space join separator
+    return spans
+
+
 def _mk_golden(url, family, content_text, comments_text="", title="", author="",
-               sitename="", date="", categories=(), tags=(), reject_reason=None):
+               sitename="", date="", categories=(), tags=(), reject_reason=None,
+               parts=None):
+    spans = _spans_from_parts(parts) if parts else []
     return {
         "url": url,
         "family": family,
+        "spans": spans,
         "content_text": content_text,
         "comments_text": comments_text,
         "title": title,
@@ -116,7 +134,8 @@ def _gen_article_simple(rng, url, lang):
     )
     html = _wrap(f"<title>{heading}</title>", body, lang)
     expected = " ".join([heading] + paras)
-    return html, _mk_golden(url, "article_simple", expected, title=heading)
+    parts = [("h1", heading)] + [("p", p) for p in paras]
+    return html, _mk_golden(url, "article_simple", expected, title=heading, parts=parts)
 
 
 def _gen_div_classed(rng, url, lang):
@@ -131,7 +150,8 @@ def _gen_div_classed(rng, url, lang):
     )
     html = _wrap(f"<title>{heading}</title>", body, lang)
     expected = " ".join([heading] + paras)
-    return html, _mk_golden(url, "div_classed", expected, title=heading)
+    parts = [("h1", heading)] + [("p", p) for p in paras]
+    return html, _mk_golden(url, "div_classed", expected, title=heading, parts=parts)
 
 
 def _gen_boilerplate_heavy(rng, url, lang):
@@ -149,7 +169,8 @@ def _gen_boilerplate_heavy(rng, url, lang):
     )
     html = _wrap(f"<title>{heading}</title>", body, lang)
     expected = " ".join([heading] + paras)
-    return html, _mk_golden(url, "boilerplate_heavy", expected, title=heading)
+    parts = [("h1", heading)] + [("p", p) for p in paras]
+    return html, _mk_golden(url, "boilerplate_heavy", expected, title=heading, parts=parts)
 
 
 def _gen_linkfarm(rng, url, lang):
@@ -167,7 +188,8 @@ def _gen_linkfarm(rng, url, lang):
     )
     html = _wrap(f"<title>{heading}</title>", body, lang)
     expected = " ".join([heading] + paras)
-    return html, _mk_golden(url, "linkfarm", expected, title=heading)
+    parts = [("h1", heading)] + [("p", p) for p in paras]
+    return html, _mk_golden(url, "linkfarm", expected, title=heading, parts=parts)
 
 
 def _gen_lists(rng, url, lang):
@@ -184,7 +206,8 @@ def _gen_lists(rng, url, lang):
     )
     html = _wrap(f"<title>{heading}</title>", body, lang)
     expected = " ".join([heading, paras[0]] + items + [paras[1]])
-    return html, _mk_golden(url, "lists", expected, title=heading)
+    parts = [("h1", heading), ("p", paras[0]), ("ul", " ".join(items)), ("p", paras[1])]
+    return html, _mk_golden(url, "lists", expected, title=heading, parts=parts)
 
 
 def _gen_tables(rng, url, lang):
@@ -205,7 +228,8 @@ def _gen_tables(rng, url, lang):
     html = _wrap(f"<title>{heading}</title>", body, lang)
     flat_cells = ["Name", "Value"] + [w for row in cells for w in row]
     expected = " ".join([heading, paras[0]] + flat_cells + [paras[1]])
-    return html, _mk_golden(url, "tables", expected, title=heading)
+    parts = [("h1", heading), ("p", paras[0]), ("table", " ".join(flat_cells)), ("p", paras[1])]
+    return html, _mk_golden(url, "tables", expected, title=heading, parts=parts)
 
 
 def _gen_code_blocks(rng, url, lang):
@@ -222,7 +246,8 @@ def _gen_code_blocks(rng, url, lang):
     )
     html = _wrap(f"<title>{heading}</title>", body, lang)
     expected = " ".join([heading, paras[0], code, paras[1]])
-    return html, _mk_golden(url, "code_blocks", expected, title=heading)
+    parts = [("h1", heading), ("p", paras[0]), ("code", code), ("p", paras[1])]
+    return html, _mk_golden(url, "code_blocks", expected, title=heading, parts=parts)
 
 
 def _gen_comments_section(rng, url, lang):
@@ -241,8 +266,10 @@ def _gen_comments_section(rng, url, lang):
     html = _wrap(f"<title>{heading}</title>", body, lang)
     expected = " ".join([heading] + paras)
     expected_comments = " ".join(comments)
+    parts = [("h1", heading)] + [("p", p) for p in paras]
     return html, _mk_golden(
-        url, "comments_section", expected, comments_text=expected_comments, title=heading
+        url, "comments_section", expected, comments_text=expected_comments,
+        title=heading, parts=parts,
     )
 
 
@@ -285,9 +312,11 @@ def _gen_metadata_rich(rng, url, lang):
     expected = " ".join([heading] + paras)
     # og:title wins; JSON-LD author overrides meta author (same value here);
     # categories/tags come from JSON-LD.
+    parts = [("h1", heading)] + [("p", p) for p in paras]
     return html, _mk_golden(
         url, "metadata_rich", expected, title=heading, author=author,
         sitename=sitename, date=date, categories=[category], tags=tags,
+        parts=parts,
     )
 
 
@@ -298,7 +327,8 @@ def _gen_baseline_only(rng, url, lang):
     html = _wrap("<title>bare page</title>", body, lang)
     # No content container → wild-text recovery picks up bare <p>s.
     expected = " ".join(paras)
-    return html, _mk_golden(url, "baseline_only", expected, title="bare page")
+    parts = [("p", p) for p in paras]
+    return html, _mk_golden(url, "baseline_only", expected, title="bare page", parts=parts)
 
 
 def _gen_reject_short(rng, url, lang):
@@ -318,7 +348,8 @@ def _gen_giant_doc(rng, url, lang):
     )
     html = _wrap(f"<title>{heading}</title>", body, lang)
     expected = " ".join([heading] + paras)
-    return html, _mk_golden(url, "giant_doc", expected, title=heading)
+    parts = [("h1", heading)] + [("p", p) for p in paras]
+    return html, _mk_golden(url, "giant_doc", expected, title=heading, parts=parts)
 
 
 _FAMILIES = (
@@ -381,6 +412,9 @@ def write_fixtures(out_dir: str, n: int, seed: int = 42) -> None:
     g = [p.golden for p in pages]
     golden_table = pa.table({
         "url": pa.array([x["url"] for x in g], pa.string()),
+        "span_starts": pa.array([[s[0] for s in x["spans"]] for x in g], pa.list_(pa.int32())),
+        "span_ends": pa.array([[s[1] for s in x["spans"]] for x in g], pa.list_(pa.int32())),
+        "span_kinds": pa.array([[s[2] for s in x["spans"]] for x in g], pa.list_(pa.string())),
         "family": pa.array([x["family"] for x in g], pa.string()),
         "content_text": pa.array([x["content_text"] for x in g], pa.string()),
         "comments_text": pa.array([x["comments_text"] for x in g], pa.string()),
