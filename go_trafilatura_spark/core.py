@@ -46,11 +46,14 @@ class ExtractResult:
 def extract(html_input: bytes | str, options: Options | None = None) -> ExtractResult:
     """Extract — parse + run the document cascade (core.go:71-79)."""
     doc = etree.parse_html(html_input)
-    return extract_document(doc, options or Options())
+    return extract_document(doc, options or Options(), owns_doc=True)
 
 
-def extract_document(doc: Element, options: Options) -> ExtractResult:
-    """ExtractDocument (core.go:82-219)."""
+def extract_document(doc: Element, options: Options, owns_doc: bool = False) -> ExtractResult:
+    """ExtractDocument (core.go:82-219). ``owns_doc=True`` lets the
+    cascade mutate the input tree instead of cloning it first (the
+    reference always clones, core.go:133 — identical results, fewer
+    allocations when the caller discards the tree)."""
     cache = LRUCache(options.config.cache_size)
 
     # Language gate (non-strict)
@@ -87,7 +90,8 @@ def extract_document(doc: Element, options: Options) -> ExtractResult:
     # Clone working copies. The reference always makes three clones
     # (core.go:133-135); we skip the ones that cannot be consumed under
     # the current options — pure allocation savings, no semantic change.
-    doc = etree.clone(doc, True)
+    if not owns_doc:
+        doc = etree.clone(doc, True)
     doc_backup1 = etree.clone(doc, True) if options.enable_fallback else None
     needs_baseline = (
         options.config.min_extracted_size > 0 and options.focus != FAVOR_PRECISION

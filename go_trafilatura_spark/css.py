@@ -142,7 +142,19 @@ def _split_outside_brackets(s: str, sep_ws: bool) -> list[str]:
     return parts
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=256)
+def _parse_group_cached(selector: str) -> tuple:
+    return tuple(_parse_group_uncached(selector))
+
+
 def parse_group(selector: str) -> list[CompoundSelector]:
+    return list(_parse_group_cached(selector))
+
+
+def _parse_group_uncached(selector: str) -> list[CompoundSelector]:
     group: list[CompoundSelector] = []
     for part in _split_outside_brackets(selector, sep_ws=False):
         part = part.strip()

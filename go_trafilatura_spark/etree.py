@@ -147,6 +147,23 @@ def _collect_tags(el: Element, tagset: frozenset, out: list) -> None:
         _collect_tags(child, tagset, out)
 
 
+def collect_by_tags(root: Element, tags) -> dict:
+    """One traversal collecting descendants grouped by tag (document
+    order per tag). Strip/remove passes over many tags use this instead
+    of one full traversal per tag — the operations commute, so grouped
+    collection preserves the per-tag semantics of repeated
+    GetElementsByTagName calls."""
+    tagset = frozenset(tags)
+    out: dict[str, list[Element]] = {t: [] for t in tagset}
+    stack = list(reversed(root.children))
+    while stack:
+        node = stack.pop()
+        if node.tag in tagset:
+            out[node.tag].append(node)
+        stack.extend(reversed(node.children))
+    return out
+
+
 def iter_descendants(root: Element, *tags: str) -> list[Element]:
     """etree.IterDescendants — like iter_all but excludes self.
     Reference: internal/etree/element.go:80-92."""

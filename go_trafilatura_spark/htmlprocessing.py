@@ -55,18 +55,27 @@ def doc_cleaning(doc: Element, options) -> None:
         cleaning_list.discard("source")
         stripping_list.discard("img")
 
+    # One traversal per phase instead of one per tag (the strip/remove
+    # operations commute across tags; see etree.collect_by_tags).
+    by_tag = etree.collect_by_tags(doc, stripping_list)
     for tag in stripping_list:
-        etree.strip_tags(doc, tag)
+        for el in reversed(by_tag[tag]):
+            etree.strip_element(el)
+
+    def _remove_cleaning_list() -> None:
+        groups = etree.collect_by_tags(doc, cleaning_list)
+        for tag in cleaning_list:
+            for el in reversed(groups[tag]):
+                if el.parent is not None:
+                    etree.remove(el, False)
 
     if options.focus == FAVOR_RECALL and etree.get_elements_by_tag(doc, "p"):
         backup = etree.clone(doc, True)
-        for tag in cleaning_list:
-            etree.strip_elements(doc, False, tag)
+        _remove_cleaning_list()
         if not etree.get_elements_by_tag(doc, "p"):
             etree.replace_content(doc, backup)
     else:
-        for tag in cleaning_list:
-            etree.strip_elements(doc, False, tag)
+        _remove_cleaning_list()
 
     remove_html_comment_nodes(doc)
     prune_html(doc, options)

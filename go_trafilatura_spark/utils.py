@@ -57,6 +57,16 @@ def text_chars_test(s: str) -> bool:
     return trim(s) != ""
 
 
+# Cheap lowercase keyword screen that must hit before the (expensive)
+# anchored regex can possibly match.
+_FILTER_KEYWORDS = (
+    "drucken", "mail", "facebook", "flipboard", "google", "instagram",
+    "linkedin", "pdf", "pinterest", "pocket", "print", "qq", "reddit",
+    "twitter", "wechat", "weibo", "whatsapp", "xing", "mehr zum thema",
+    "more on this",
+)
+
+
 def text_filter(el: Element) -> bool:
     """True → drop the node (boilerplate or blank).
     Reference: utils-extractor.go:112-127."""
@@ -64,6 +74,9 @@ def text_filter(el: Element) -> bool:
     test_text = text if text != "" else el.tail
     if not text_chars_test(test_text):
         return True
+    lowered = test_text.lower()
+    if not any(k in lowered for k in _FILTER_KEYWORDS):
+        return False
     return any(RE_FILTER.search(line) for line in test_text.split("\n"))
 
 
@@ -200,9 +213,12 @@ def detect_language(text: str) -> str:
     words = re.findall(r"[^\W\d_]+", text.lower())
     if len(words) < 5:
         return ""
+    from collections import Counter
+
+    counts = Counter(words)
     scores = {}
     for lang, sw in _STOPWORD_SETS.items():
-        hits = sum(1 for w in words if w in sw)
+        hits = sum(counts[w] for w in sw if w in counts)
         if hits:
             scores[lang] = hits
     if not scores:
