@@ -228,6 +228,27 @@ def q_extract_spans(spark, sf_dir):
     )
 
 
+def q_corpus_dedup(spark, sf_dir):
+    """Corpus-level exact dedup over the *extracted* text — the
+    order-independent re-specification of the reference's shared-cache
+    --deduplicate mode (SURVEY.md §2.9): fingerprint the kernel output,
+    keep the first url per fingerprint group."""
+    from pyspark.sql import Window
+
+    _ensure_fixtures()
+    pages = spark.read.parquet(PAGES_PARQUET)
+    out = extract_pages(pages, num_partitions=8).where(F.col("reject_reason").isNull())
+    w = Window.partitionBy("fingerprint").orderBy("url")
+    return (
+        out.select("url", F.md5(F.col("content_text")).alias("fingerprint"))
+        .withColumn("dup_rank", F.row_number().over(w))
+        .select(
+            "url", "fingerprint",
+            (F.col("dup_rank") > 1).cast("bigint").alias("is_duplicate"),
+        )
+    )
+
+
 def q_host_stats(spark, sf_dir):
     """Relational demo over the fixture pages: per-host doc counts and
     html size stats (host skew visibility — the salting rationale)."""
@@ -262,6 +283,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
         "embedding_neardup": q_embedding_neardup,
+        "corpus_dedup": q_corpus_dedup,
         "extract_spans": q_extract_spans,
         "host_stats": q_host_stats,
         "text_output": q_text_output,
@@ -464,6 +486,11 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
 FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.95""",
+        "corpus_dedup": f"""
+SELECT url, md5(content_text) AS fingerprint,
+       CASE WHEN row_number() OVER (PARTITION BY md5(content_text) ORDER BY url) > 1
+            THEN 1 ELSE 0 END AS is_duplicate
+FROM read_parquet('{golden}')""",
         "extract_spans": f"""
 SELECT url,
        (unnest(generate_series(1, len(span_starts))) - 1)::BIGINT AS span_idx,

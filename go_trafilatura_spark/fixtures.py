@@ -377,6 +377,18 @@ def generate_pages(n: int, seed: int = 42) -> list[Page]:
         lang = "de" if rng.random() < 0.12 else "en"
         host = _host(rng)
         url = f"https://{host}/articles/{i:06d}"
+        # ~4%: emit an exact content duplicate of an earlier page under a
+        # new url on the SAME host (exercises corpus-level dedup; host
+        # kept so the url-derived sitename prediction stays valid).
+        if i > 10 and rng.random() < 0.04:
+            src = pages[rng.randrange(len(pages))]
+            dup_url = src.url + f"-dup{i}"
+            golden = dict(src.golden)
+            golden["url"] = dup_url
+            ts = base_ts + datetime.timedelta(seconds=i * 137)
+            pages.append(Page(dup_url, ts, src.html, src.text, src.lang, golden))
+            continue
+
         html, golden = gen(rng, url, lang)
         if not golden["sitename"]:
             # No og:site_name and no dot-part in <title> → the extractor
