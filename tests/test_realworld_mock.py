@@ -161,6 +161,13 @@ CASES = [
 ]
 
 
+def test_exotic_tags():
+    # trafilatura_test.go:89-92
+    result = _extract_mock("exotic_tags.html", "http://exotic_tags")
+    assert "Teletype text" in result.content_text
+    assert "My new car is silver." in result.content_text
+
+
 def _extract_mock(fname: str, url: str):
     with open(os.path.join(MOCK_DIR, fname), "rb") as f:
         html = f.read()

@@ -136,6 +136,39 @@ def test_streaming_extraction(spark, smoke_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_spark_submit_pyfiles(smoke_dir):
+    """End-to-end deployment path: build the --py-files zip and run the
+    extraction job through spark-submit (the north rule's launch mode)."""
+    import json
+    import subprocess
+    import sys
+
+    from go_trafilatura_spark.package_zip import build_zip
+
+    zip_path = build_zip()
+    out_dir = tempfile.mkdtemp(prefix="gts_submit_") + "/out"
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        proc = subprocess.run(
+            [
+                "spark-submit", "--master", "local[2]",
+                "--py-files", zip_path,
+                os.path.join(repo, "jobs", "extract_job.py"),
+                "--input", os.path.join(smoke_dir, "pages.parquet"),
+                "--output", out_dir,
+                "--partitions", "4",
+            ],
+            capture_output=True, text=True, timeout=300, cwd=repo,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        stats = json.loads(line)
+        assert stats["rows"] == 120
+        assert stats["rejected"] == 0
+    finally:
+        shutil.rmtree(os.path.dirname(out_dir), ignore_errors=True)
+
+
 def test_multimodal_plumbing(spark):
     from go_trafilatura_spark.multimodal import (
         MEDIA_SCHEMA, image_features, resize_images, sample_video_frames,
