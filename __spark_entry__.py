@@ -228,6 +228,28 @@ def q_extract_spans(spark, sf_dir):
     )
 
 
+def _events(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+
+
+def q_events_windowed(spark, sf_dir):
+    return textops.events_windowed(_events(spark, sf_dir))
+
+
+def q_events_sessionized(spark, sf_dir):
+    df = textops.events_sessionized(_events(spark, sf_dir))
+    return df.select(
+        F.col("user_id").cast("bigint").alias("user_id"),
+        F.col("session_seq").cast("bigint").alias("session_seq"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        "session_start", "session_end",
+    )
+
+
+def q_events_json_props(spark, sf_dir):
+    return textops.events_json_props(_events(spark, sf_dir))
+
+
 def q_corpus_dedup(spark, sf_dir):
     """Corpus-level exact dedup over the *extracted* text — the
     order-independent re-specification of the reference's shared-cache
@@ -285,6 +307,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": q_embedding_neardup,
         "corpus_dedup": q_corpus_dedup,
         "extract_spans": q_extract_spans,
+        "events_windowed": q_events_windowed,
+        "events_sessionized": q_events_sessionized,
+        "events_json_props": q_events_json_props,
         "host_stats": q_host_stats,
         "text_output": q_text_output,
         "json_output": q_json_output,
@@ -486,6 +511,31 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
 FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
 WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.95""",
+        "events_windowed": """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS total_value
+FROM events
+GROUP BY 1, 2""",
+        "events_sessionized": """
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                   > 1800 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), with_ids AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id::BIGINT AS user_id, session_seq::BIGINT AS session_seq,
+       count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end
+FROM with_ids GROUP BY user_id, session_seq""",
+        "events_json_props": """
+SELECT event_id, json_extract_string(props, '$.k')::BIGINT AS prop_k FROM events""",
         "corpus_dedup": f"""
 SELECT url, md5(content_text) AS fingerprint,
        CASE WHEN row_number() OVER (PARTITION BY md5(content_text) ORDER BY url) > 1

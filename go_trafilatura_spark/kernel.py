@@ -181,10 +181,13 @@ def make_kernel(kernel_options: KernelOptions | None = None):
             htmls = pdf["html"].tolist()
             langs = pdf["lang"].tolist() if "lang" in pdf else [None] * len(urls)
             tss = pdf["warc_ts"].tolist() if "warc_ts" in pdf else [None] * len(urls)
-            rows = [
-                _extract_row(u, t, h, lg, ko)
-                for u, t, h, lg in zip(urls, tss, htmls, langs)
-            ]
-            yield pd.DataFrame(rows, columns=OUTPUT_COLUMNS)
+            # Columnar assembly: one list per output column (cheaper to
+            # build and convert to Arrow than a list of per-row dicts).
+            cols: dict[str, list] = {name: [] for name in OUTPUT_COLUMNS}
+            for u, t, h, lg in zip(urls, tss, htmls, langs):
+                row = _extract_row(u, t, h, lg, ko)
+                for name in OUTPUT_COLUMNS:
+                    cols[name].append(row[name])
+            yield pd.DataFrame(cols, columns=OUTPUT_COLUMNS)
 
     return extract_batches

@@ -316,6 +316,60 @@ def ann_lsh_topk(emb: DataFrame, query_vec_id: int = 0, k: int = 5, n_bits: int 
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()).limit(k)
 
 
+# -- event-stream analytics (batch form of the streaming ops) ----------------
+
+def events_windowed(events: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Tumbling-window counts/sums per event type — the batch twin of
+    the Structured Streaming windowed aggregation in streaming.py."""
+    return (
+        events.groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type", "n_events", "total_value",
+        )
+    )
+
+
+def events_sessionized(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization per user (lag + cumulative sum of
+    new-session flags — one shuffle on user_id)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap = gap_minutes * 60
+    epoch = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    flagged = events.withColumn(
+        "new_session",
+        (
+            F.coalesce(epoch - F.lag(epoch).over(w), F.lit(gap + 1)) > gap
+        ).cast("bigint"),
+    )
+    with_ids = flagged.withColumn(
+        "session_seq", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        with_ids.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+def events_json_props(events: DataFrame) -> DataFrame:
+    """Dynamic JSON property extraction (the reference's schema-less
+    JSON-LD handling, at DF level: get_json_object)."""
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
+    )
+
+
 def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.99) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, label-blocked to bound the
     pair space (at scale: block on the LSH bucket instead)."""
