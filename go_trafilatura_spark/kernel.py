@@ -87,10 +87,11 @@ def compute_spans(content_node, content_text: str) -> list[dict]:
             continue
         idx = content_text.find(child_text, pos)
         if idx < 0:
-            # fall back to unanchored search (overlapping whitespace forms)
-            idx = content_text.find(child_text)
-            if idx < 0:
-                continue
+            # Whitespace collapsing at element boundaries can make a
+            # child's standalone flattening unlocatable past `pos`;
+            # skip it rather than emit a non-monotonic span (the span
+            # list contract is strictly forward).
+            continue
         spans.append({"start": idx, "end": idx + len(child_text), "kind": child.tag})
         pos = idx + len(child_text)
     return spans
