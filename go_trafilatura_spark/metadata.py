@@ -813,6 +813,7 @@ def extract_license(doc: Element) -> str:
 
 _DATE_META_KEYS = frozenset((
     "article:published_time", "article:published", "og:article:published_time",
+    "og:published_time", "rnews:datepublished", "datecreated",
     "article.published", "datepublished", "date_published", "published-date",
     "published_time", "publishdate", "pubdate", "publication_date",
     "date", "dc.date", "dc.date.issued", "dc.date.created", "dcterms.date",
@@ -824,6 +825,7 @@ _RX_ISO_DATE = stdlib_re.compile(r"(\d{4})-(\d{2})-(\d{2})")
 _RX_URL_DATE = stdlib_re.compile(r"/(\d{4})/(\d{1,2})/(\d{1,2})(?:/|$)")
 _RX_DMY_DATE = stdlib_re.compile(r"\b(\d{1,2})\.(\d{1,2})\.(\d{4})\b")
 _RX_MDY_DATE = stdlib_re.compile(r"\b(\d{1,2})/(\d{1,2})/(\d{4})\b")
+_RX_DMY2_DATE = stdlib_re.compile(r"\b(\d{1,2})\.(\d{1,2})\.(\d{2})\b")
 
 
 def _valid_date(y: int, m: int, d: int) -> str:
@@ -845,6 +847,9 @@ def _parse_date_string(s: str) -> str:
     m = _RX_MDY_DATE.search(s)
     if m:
         return _valid_date(int(m.group(3)), int(m.group(1)), int(m.group(2)))
+    m = _RX_DMY2_DATE.search(s)
+    if m:
+        return _valid_date(2000 + int(m.group(3)), int(m.group(2)), int(m.group(1)))
     return ""
 
 
@@ -884,6 +889,15 @@ def extract_date_fast(doc: Element, url: str) -> str:
             if date:
                 return date
 
+    # 5. Visible-text scan (bounded) — htmldate fast mode scans the
+    # document body for numeric date patterns.
+    body = etree.body_of(doc)
+    if body is not None:
+        text = etree.text_content(body)[:50000]
+        date = _parse_date_string(text)
+        if date:
+            return date
+
     return ""
 
 
@@ -909,9 +923,9 @@ def extract_metadata(doc: Element, options) -> Metadata:
         metadata.url = extract_dom_url(doc)
 
     if metadata.url != "":
-        parsed, is_abs = validate_url(metadata.url)
-        if parsed is not None and is_abs:
-            metadata.url = parsed.geturl()
+        valid_url, is_abs = validate_url(metadata.url, options.original_url)
+        if valid_url != "" and is_abs:
+            metadata.url = valid_url
         else:
             metadata.url = ""
 
@@ -922,9 +936,9 @@ def extract_metadata(doc: Element, options) -> Metadata:
         metadata.hostname = get_domain_url(metadata.url)
 
     if metadata.image != "":
-        parsed, is_abs = validate_url(metadata.image)
-        if parsed is not None and is_abs:
-            metadata.image = parsed.geturl()
+        valid_url, is_abs = validate_url(metadata.image, options.original_url)
+        if valid_url != "" and is_abs:
+            metadata.image = valid_url
         else:
             metadata.image = ""
 

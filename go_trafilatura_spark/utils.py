@@ -168,19 +168,24 @@ def get_base_url(url: str) -> str:
 
 
 def get_domain_url(url: str) -> str:
-    try:
-        host = urlparse(url).hostname or ""
-    except ValueError:
-        return ""
-    parts = host.split(".")
-    if len(parts) <= 2:
-        return host
-    return ".".join(parts[-2:])
-
-
-def validate_url(url: str) -> tuple:
+    """url.go:88-95 — the full hostname of an absolute URL."""
     ok, parsed = is_absolute_url(url)
-    return (parsed, ok)
+    if not ok:
+        return ""
+    return parsed.hostname or ""
+
+
+def validate_url(url: str, base=None) -> tuple[str, bool]:
+    """url.go:106-120 — absolute URLs pass through; relative URLs are
+    resolved against base (the original url) when possible."""
+    ok, _ = is_absolute_url(url)
+    if ok:
+        return url, True
+    new_url = create_absolute_url(url, base)
+    ok, _ = is_absolute_url(new_url)
+    if ok:
+        return new_url, True
+    return url, False
 
 
 # ---------------------------------------------------------------------------
