@@ -173,16 +173,19 @@ def iter_descendants(root: Element, *tags: str) -> list[Element]:
     return lst
 
 
+def _walk_all(el: Element, out: list) -> None:
+    for c in el.children:
+        if c.tag != COMMENT:
+            out.append(c)
+        if c.children:
+            _walk_all(c, out)
+
+
 def get_elements_by_tag(root: Element, tag: str) -> list[Element]:
     """dom.GetElementsByTagName — descendants only (root excluded)."""
     out: list[Element] = []
     if tag == "*":
-        stack = list(reversed(root.children))
-        while stack:
-            node = stack.pop()
-            if node.tag != COMMENT:
-                out.append(node)
-            stack.extend(reversed(node.children))
+        _walk_all(root, out)
         return out
     _collect_tags(root, frozenset((tag,)), out)
     return out
