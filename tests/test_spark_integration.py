@@ -169,6 +169,31 @@ def test_spark_submit_pyfiles(smoke_dir):
         shutil.rmtree(os.path.dirname(out_dir), ignore_errors=True)
 
 
+def test_discovery_dataframe(spark):
+    from go_trafilatura_spark.discovery import discover_urls
+    from tests.test_discovery_cli import ATOM, RSS, SITEMAP
+
+    feeds = spark.createDataFrame(
+        [("https://example.org/feed1", bytearray(RSS)),
+         ("https://example.org/feed2", bytearray(ATOM))],
+        "source_url string, body binary",
+    )
+    rows = discover_urls(feeds, kind="feed").collect()
+    assert {(r["source_url"], r["page_url"]) for r in rows} == {
+        ("https://example.org/feed1", "https://example.org/a"),
+        ("https://example.org/feed1", "https://example.org/b"),
+        ("https://example.org/feed2", "https://example.org/x"),
+        ("https://example.org/feed2", "https://example.org/y"),
+    }
+
+    maps = spark.createDataFrame(
+        [("https://example.org/sitemap.xml", bytearray(SITEMAP))],
+        "source_url string, body binary",
+    )
+    rows = discover_urls(maps, kind="sitemap").collect()
+    assert len(rows) == 2
+
+
 def test_multimodal_plumbing(spark):
     from go_trafilatura_spark.multimodal import (
         MEDIA_SCHEMA, image_features, resize_images, sample_video_frames,
