@@ -60,6 +60,9 @@ _HEAD_ONLY = frozenset(
 )
 
 
+_EMPTY_ATTRIB: dict = {}
+
+
 class Element:
     """One HTML element. ``text`` is the text before the first child,
     ``tail`` is the text between this element's end tag and the next
@@ -69,7 +72,10 @@ class Element:
 
     def __init__(self, tag: str, attrib: dict | None = None):
         self.tag = tag
-        self.attrib = attrib if attrib is not None else {}
+        # Attribute-less elements share one frozen-by-convention dict;
+        # set() rebinds before the first mutation (saves one dict
+        # allocation per node — most nodes have no attributes).
+        self.attrib = attrib if attrib is not None else _EMPTY_ATTRIB
         self.text = ""
         self.tail = ""
         self.children: list[Element] = []
@@ -80,6 +86,8 @@ class Element:
         return self.attrib.get(key, default)
 
     def set(self, key: str, value: str) -> None:
+        if self.attrib is _EMPTY_ATTRIB:
+            self.attrib = {}
         self.attrib[key] = value
 
     def __repr__(self) -> str:  # pragma: no cover - debug aid
@@ -250,7 +258,7 @@ def clone(el: Element, deep: bool = True) -> Element:
     """dom.Clone — the clone is detached: no parent and no tail (in the
     DOM model a tail is a sibling text node and never travels with the
     node)."""
-    dup = Element(el.tag, dict(el.attrib))
+    dup = Element(el.tag, dict(el.attrib) if el.attrib else None)
     if deep:
         dup.text = el.text
         for child in el.children:
@@ -261,7 +269,7 @@ def clone(el: Element, deep: bool = True) -> Element:
 
 
 def _clone_with_tail(el: Element) -> Element:
-    dup = Element(el.tag, dict(el.attrib))
+    dup = Element(el.tag, dict(el.attrib) if el.attrib else None)
     dup.text = el.text
     dup.tail = el.tail
     for child in el.children:
@@ -505,12 +513,15 @@ class _TreeBuilder(HTMLParser):
         super().__init__(convert_charrefs=True)
         self.root = Element(DOCUMENT)
         self.html = Element("html")
+        self.html.attrib = {}
         self.html.parent = self.root
         self.root.children.append(self.html)
         self.head = Element("head")
+        self.head.attrib = {}
         self.head.parent = self.html
         self.html.children.append(self.head)
         self.body = Element("body")
+        self.body.attrib = {}
         self.body.parent = self.html
         self.html.children.append(self.body)
         self.stack: list[Element] = []  # open elements below body
@@ -558,21 +569,23 @@ class _TreeBuilder(HTMLParser):
 
     # -- HTMLParser callbacks ----------------------------------------------
     def handle_starttag(self, tag: str, attrs) -> None:
-        attrib: dict[str, str] = {}
-        for k, v in attrs:
-            if k not in attrib:
-                attrib[k] = v if v is not None else ""
+        attrib: dict[str, str] | None = None
+        if attrs:
+            attrib = {}
+            for k, v in attrs:
+                if k not in attrib:
+                    attrib[k] = v if v is not None else ""
         if tag == "html":
-            for k, v in attrib.items():
+            for k, v in (attrib or {}).items():
                 self.html.attrib.setdefault(k, v)
             return
         if tag == "head":
-            for k, v in attrib.items():
+            for k, v in (attrib or {}).items():
                 self.head.attrib.setdefault(k, v)
             return
         if tag == "body":
             self.in_body = True
-            for k, v in attrib.items():
+            for k, v in (attrib or {}).items():
                 self.body.attrib.setdefault(k, v)
             return
         if not self.in_body and tag in _HEAD_ONLY:

@@ -102,8 +102,8 @@ def add_sub_element(new_child: Element, sub_element: Element, processed: Element
     sub_child = etree.sub_element(new_child, processed.tag)
     etree.set_text(sub_child, processed.text)
     etree.set_tail(sub_child, processed.tail)
-    for k, v in sub_element.attrib.items():
-        sub_child.attrib.setdefault(k, v)
+    if sub_element.attrib:
+        sub_child.attrib = dict(sub_element.attrib)
     return sub_child
 
 
