@@ -607,7 +607,9 @@ class _TreeBuilder(HTMLParser):
         el = Element(tag, attrib)
         el.parent = parent
         parent.children.append(el)
-        if tag not in VOID_ELEMENTS:
+        # Depth cap: pathological nesting (100 TB of wild HTML contains
+        # everything) must not push recursion limits in later tree ops.
+        if tag not in VOID_ELEMENTS and len(self.stack) < 400:
             self.stack.append(el)
 
     def handle_startendtag(self, tag: str, attrs) -> None:
