@@ -169,6 +169,22 @@ def test_spark_submit_pyfiles(smoke_dir):
         shutil.rmtree(os.path.dirname(out_dir), ignore_errors=True)
 
 
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference/test-files/comparison"),
+    reason="reference comparison corpus not available",
+)
+def test_comparison_corpus_fscore(spark):
+    """Regression floor: the reference's own 960-page benchmark must
+    stay at reference-level quality (published baseline: 0.904)."""
+    from go_trafilatura_spark.comparison import score
+
+    res = score(spark, enable_fallback=False, focus=0)
+    assert res["docs"] == 960
+    assert res["f_score"] >= 0.895, res
+    assert res["precision"] >= 0.90, res
+    assert res["recall"] >= 0.88, res
+
+
 def test_discovery_dataframe(spark):
     from go_trafilatura_spark.discovery import discover_urls
     from tests.test_discovery_cli import ATOM, RSS, SITEMAP
