@@ -175,6 +175,7 @@ def readability_candidate(doc: Element) -> Element | None:
 
     # prepDocument: drop non-content machinery before scoring
     etree.strip_elements(work, False, "script", "style", "noscript", "template", "iframe")
+    _replace_double_brs(work)
 
     # Remove unlikely candidates (readability.js removeUnlikelyCandidates)
     for el in reversed(etree.get_elements_by_tag(work, "*")):
@@ -201,8 +202,24 @@ def readability_candidate(doc: Element) -> Element | None:
             w += 25
         return w
 
+    # readability.js initializeNode tag weights
+    _TAG_WEIGHT = {
+        "div": 5, "pre": 3, "td": 3, "blockquote": 3,
+        "address": -3, "ol": -3, "ul": -3, "dl": -3, "dd": -3, "dt": -3,
+        "li": -3, "form": -3,
+        "h1": -5, "h2": -5, "h3": -5, "h4": -5, "h5": -5, "h6": -5, "th": -5,
+    }
+
     scores: dict[int, float] = {}
     by_id: dict[int, Element] = {}
+
+    def _init(node: Element) -> int:
+        nid = id(node)
+        if nid not in scores:
+            scores[nid] = class_weight(node) + _TAG_WEIGHT.get(node.tag, 0)
+            by_id[nid] = node
+        return nid
+
     for el in etree.get_elements_by_tag(work, "*"):
         if el.tag not in _SCORE_TAGS:
             continue
@@ -210,24 +227,19 @@ def readability_candidate(doc: Element) -> Element | None:
         if len(text) < 25:
             continue
         score = 1.0 + text.count(",") + min(len(text) / 100.0, 3.0)
-        parent = el.parent
-        if parent is not None:
-            pid = id(parent)
-            if pid not in scores:
-                scores[pid] = class_weight(parent)
-                by_id[pid] = parent
-            scores[pid] += score
-            grand = parent.parent
-            if grand is not None:
-                gid = id(grand)
-                if gid not in scores:
-                    scores[gid] = class_weight(grand)
-                    by_id[gid] = grand
-                scores[gid] += score / 2.0
+        # parent full, grandparent half, further ancestors /(level*3)
+        node = el.parent
+        level = 0
+        while node is not None and node.tag not in ("html", etree.DOCUMENT) and level < 5:
+            divisor = 1.0 if level == 0 else (2.0 if level == 1 else level * 3.0)
+            nid = _init(node)
+            scores[nid] += score / divisor
+            node = node.parent
+            level += 1
 
     top: Element | None = None
     if scores:
-        best_id, best_score = None, float("-inf")
+        adjusted_scores: list[tuple[float, int]] = []
         for pid, score in scores.items():
             el = by_id[pid]
             text = trim(etree.text_content(el))
@@ -236,10 +248,11 @@ def readability_candidate(doc: Element) -> Element | None:
                 for a in etree.get_elements_by_tag(el, "a")
             )
             density = (link_text / len(text)) if text else 1.0
-            adjusted = score * (1.0 - density)
-            if adjusted > best_score:
-                best_id, best_score = pid, adjusted
-        if best_id is not None and best_score > 0:
+            adjusted_scores.append((score * (1.0 - density), pid))
+        adjusted_scores.sort(key=lambda t: -t[0])
+
+        best_score, best_id = adjusted_scores[0]
+        if best_score > 0:
             top = by_id[best_id]
 
     out = etree.new_element("div")
@@ -247,7 +260,43 @@ def readability_candidate(doc: Element) -> Element | None:
         for child in list(work.children):
             etree.append(out, child)
     else:
-        etree.append(out, top)
+        # readability.js: while the top candidate is an only child, use
+        # its parent (sibling joining then sees adjacent content).
+        while (
+            top.parent is not None
+            and top.parent is not work
+            and top.parent.tag not in ("body", "html", etree.DOCUMENT)
+            and len(etree.children_of(top.parent)) == 1
+        ):
+            top = top.parent
+
+        best = scores.get(id(top), best_score)
+        sibling_threshold = max(10.0, best * 0.2)
+        parent = top.parent
+        if parent is not None:
+            for sibling in list(etree.children_of(parent)):
+                append_it = False
+                if sibling is top:
+                    append_it = True
+                else:
+                    sib_score = scores.get(id(sibling))
+                    if sib_score is not None and sib_score >= sibling_threshold:
+                        append_it = True
+                    elif sibling.tag == "p":
+                        text = trim(etree.text_content(sibling))
+                        link_text = sum(
+                            len(trim(etree.text_content(a)))
+                            for a in etree.get_elements_by_tag(sibling, "a")
+                        )
+                        density = (link_text / len(text)) if text else 0.0
+                        if len(text) > 80 and density < 0.25:
+                            append_it = True
+                        elif 0 < len(text) <= 80 and density == 0 and re.search(r"\.( |$)", text):
+                            append_it = True
+                if append_it:
+                    etree.append(out, sibling)
+        else:
+            etree.append(out, top)
 
     # readability's empty-paragraph cleanup
     for p in reversed(etree.get_elements_by_tag(out, "p")):
@@ -255,3 +304,100 @@ def readability_candidate(doc: Element) -> Element | None:
             etree.remove(p)
 
     return out
+
+
+_PHRASING = frozenset(
+    "a abbr b bdo br cite code dfn em i img kbd label mark q s samp small "
+    "span strike strong sub sup tt u var wbr time font".split()
+)
+
+
+def _replace_double_brs(root: Element) -> None:
+    """readability.js _replaceBrs: runs of ≥2 <br> split the enclosing
+    element's inline content into <p> paragraphs (phrasing content only;
+    block elements stay direct children)."""
+    for node in etree.iter_all(root):
+        brs = [c for c in node.children if c.tag == "br"]
+        if len(brs) < 2:
+            continue
+        items: list = []
+        if node.text:
+            items.append(("#text", node.text))
+        for child in node.children:
+            items.append(("el", child))
+            if child.tail:
+                items.append(("#text", child.tail))
+                child.tail = ""
+
+        segments: list[list] = [[]]
+        i = 0
+        while i < len(items):
+            kind, val = items[i]
+            if kind == "el" and val.tag == "br":
+                j = i
+                n_br = 0
+                while j < len(items):
+                    k2, v2 = items[j]
+                    if k2 == "el" and v2.tag == "br":
+                        n_br += 1
+                        j += 1
+                    elif k2 == "#text" and not v2.strip():
+                        j += 1
+                    else:
+                        break
+                if n_br >= 2:
+                    segments.append([])
+                    i = j
+                    continue
+            segments[-1].append(items[i])
+            i += 1
+
+        if len(segments) < 2:
+            # restore the original stream
+            node.children = []
+            node.text = ""
+            prev = None
+            for kind, val in items:
+                if kind == "#text":
+                    if prev is None:
+                        node.text += val
+                    else:
+                        prev.tail += val
+                else:
+                    val.parent = node
+                    node.children.append(val)
+                    prev = val
+            continue
+
+        node.text = ""
+        node.children = []
+        for seg in segments:
+            has_content = any(
+                (k == "#text" and v.strip()) or (k == "el" and v.tag != "br")
+                for k, v in seg
+            )
+            if not has_content:
+                continue
+            p = None
+            prev = None
+            for kind, val in seg:
+                if kind == "el" and val.tag not in _PHRASING:
+                    val.parent = node
+                    node.children.append(val)
+                    p = None
+                    prev = None
+                    continue
+                if p is None:
+                    p = Element("p")
+                    p.parent = node
+                    node.children.append(p)
+                    prev = None
+                if kind == "#text":
+                    if prev is None:
+                        p.text += val
+                    else:
+                        prev.tail += val
+                else:
+                    val.parent = p
+                    p.children.append(val)
+                    prev = val
