@@ -31,7 +31,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # paragraphs — gives rows realistic weight (~5-20 KB of HTML).
 PARA_REPEAT = 6
 # Minimum page count for the timed run (rows are replicated up to this)
-TARGET_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
+TARGET_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "60000"))
 
 
 def _worker(parallelism: int) -> None:
