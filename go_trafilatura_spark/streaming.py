@@ -71,6 +71,64 @@ def start_extraction_stream(
     )
 
 
+def stateful_host_dedup_stream(
+    stream_df: DataFrame,
+    ttl_minutes: int = 60,
+):
+    """Custom stateful streaming operator (applyInPandasWithState): an
+    online per-host exact-dedup filter. State = the set of content
+    fingerprints seen per host (bounded by processing-time timeout).
+    Emits only first-seen (host, fingerprint) rows — the streaming twin
+    of the corpus-level dedup (SURVEY.md §2.9), with the same
+    order-dependence the reference's shared LRU cache has, made explicit
+    per host partition.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType, StringType, StructField, StructType,
+    )
+
+    out_schema = StructType([
+        StructField("host", StringType()),
+        StructField("url", StringType()),
+        StructField("fingerprint", StringType()),
+        StructField("seen_before", LongType()),
+    ])
+    state_schema = StructType([StructField("fingerprints", StringType())])
+
+    def dedup_fn(key, pdf_iter, state: GroupState):
+        seen: set[str] = set()
+        if state.exists:
+            (blob,) = state.get
+            seen = set(blob.split("\x1f")) if blob else set()
+        import pandas as pd
+
+        host = key[0]
+        out = []
+        for pdf in pdf_iter:
+            for url, fp in zip(pdf["url"], pdf["fingerprint"]):
+                dup = fp in seen
+                if not dup:
+                    seen.add(fp)
+                out.append((host, url, fp, 1 if dup else 0))
+        state.update(("\x1f".join(sorted(seen)),))
+        state.setTimeoutDuration(ttl_minutes * 60 * 1000)
+        yield pd.DataFrame(out, columns=["host", "url", "fingerprint", "seen_before"])
+
+    hosts = stream_df.select(
+        F.regexp_extract("url", "https?://([^/]+)", 1).alias("host"),
+        "url",
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("fingerprint"),
+    )
+    return hosts.groupBy("host").applyInPandasWithState(
+        dedup_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def start_quality_stream(
     spark: SparkSession,
     input_path: str,

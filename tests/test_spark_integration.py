@@ -210,6 +210,73 @@ def test_discovery_dataframe(spark):
     assert len(rows) == 2
 
 
+def test_stateful_dedup_stream(spark, smoke_dir):
+    """Custom stateful streaming op: per-host online dedup keeps state
+    across micro-batches (duplicates in batch 2 are flagged)."""
+    from go_trafilatura_spark.streaming import stateful_host_dedup_stream
+
+    tmp = tempfile.mkdtemp(prefix="gts_state_")
+    try:
+        in_dir = os.path.join(tmp, "in")
+        os.makedirs(in_dir)
+        pages = read_pages(spark, os.path.join(smoke_dir, "pages.parquet")).limit(30)
+        pages.coalesce(1).write.parquet(os.path.join(tmp, "b1"))
+        b1 = [f for f in os.listdir(os.path.join(tmp, "b1")) if f.endswith(".parquet")][0]
+        shutil.copy(os.path.join(tmp, "b1", b1), os.path.join(in_dir, "batch1.parquet"))
+
+        from go_trafilatura_spark.streaming import read_page_stream
+
+        stream = read_page_stream(spark, in_dir, max_files_per_trigger=1)
+        deduped = stateful_host_dedup_stream(stream)
+        query = (
+            deduped.writeStream.format("memory").queryName("dedup_stream")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .start()
+        )
+
+        def _wait_rows(n, timeout_s=120):
+            # processAllAvailable can block indefinitely on stateful
+            # queries with processing-time timeouts → poll instead.
+            import time
+
+            deadline = time.time() + timeout_s
+            while time.time() < deadline:
+                if not query.isActive:
+                    raise AssertionError(f"query died: {query.exception()}")
+                got = spark.sql("select count(*) c from dedup_stream").collect()[0]["c"]
+                if got >= n:
+                    return
+                time.sleep(1)
+            raise AssertionError(f"timed out waiting for {n} rows")
+
+        # The fixture corpus deliberately contains ~4% duplicate pages,
+        # so batch 1 may already flag a few.
+        n_unique = (
+            pages.selectExpr(
+                "regexp_extract(url, 'https?://([^/]+)', 1) AS host",
+                "md5(coalesce(text, '')) AS fp",
+            )
+            .distinct()
+            .count()
+        )
+
+        _wait_rows(30)
+        first = spark.sql("select * from dedup_stream").collect()
+        assert len(first) == 30
+        assert sum(r["seen_before"] for r in first) == 30 - n_unique
+
+        # Batch 2 = the same pages again → every row flagged
+        shutil.copy(os.path.join(tmp, "b1", b1), os.path.join(in_dir, "batch2.parquet"))
+        _wait_rows(60)
+        query.stop()
+        rows = spark.sql("select * from dedup_stream").collect()
+        assert len(rows) == 60
+        assert sum(r["seen_before"] for r in rows) == 60 - n_unique
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_multimodal_plumbing(spark):
     from go_trafilatura_spark.multimodal import (
         MEDIA_SCHEMA, image_features, resize_images, sample_video_frames,
