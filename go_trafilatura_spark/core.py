@@ -82,8 +82,7 @@ def extract_document(doc: Element, options: Options, owns_doc: bool = False) -> 
         except ValueError:
             sels = None
         if sels:
-            rules = [lambda n, _s=sel: _s.matches(n) for sel in sels]
-            # Single rule list, all selectors merged (cascadia group match)
+            # One rule matching the whole selector group (cascadia group match)
             group_rule = [lambda n, _ss=sels: any(s.matches(n) for s in _ss)]
             doc = prune_unwanted_nodes(doc, group_rule)
 

@@ -38,18 +38,6 @@ _P_CLOSERS = frozenset(
     ).split()
 )
 
-# Elements whose start tag closes a same-group open element.
-_SIBLING_CLOSERS = {
-    "li": ("li",),
-    "dd": ("dd", "dt"),
-    "dt": ("dd", "dt"),
-    "tr": ("tr", "td", "th"),
-    "td": ("td", "th"),
-    "th": ("td", "th"),
-    "option": ("option",),
-    "optgroup": ("option", "optgroup"),
-}
-
 # Scope barriers: auto-close search never crosses these.
 _SCOPE_BARRIERS = frozenset(
     "html body table td th caption marquee object template".split()
