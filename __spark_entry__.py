@@ -169,7 +169,10 @@ def q_ann_lsh(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
-    return textops.embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.95)
+    # The synthetic embeddings are near-orthogonal (max same-label cosine
+    # ≈ 0.47), so the "near-duplicate" threshold is scaled to the data to
+    # keep the check non-vacuous.
+    return textops.embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.40)
 
 
 def q_text_output(spark, sf_dir):
@@ -510,7 +513,7 @@ LIMIT 5""",
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
 FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.95""",
+WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.40""",
         "events_windowed": """
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
        event_type,
