@@ -251,7 +251,19 @@ def readability_candidate(doc: Element) -> Element | None:
             adjusted_scores.append((score * (1.0 - density), pid))
         adjusted_scores.sort(key=lambda t: -t[0])
 
+        # A candidate that swallows most of the page is no candidate:
+        # prefer the best-scoring one under 70% of the page text
+        # (stands in for readability's conditional cleaning, which
+        # trims whole-page winners down to the article).
+        page_len = len(trim(etree.text_content(work))) or 1
         best_score, best_id = adjusted_scores[0]
+        for score_i, pid_i in adjusted_scores[:5]:
+            if score_i <= 0:
+                break
+            cand_len = len(trim(etree.text_content(by_id[pid_i])))
+            if cand_len <= 0.7 * page_len:
+                best_score, best_id = score_i, pid_i
+                break
         if best_score > 0:
             top = by_id[best_id]
 
