@@ -21,6 +21,7 @@ from collections.abc import Iterator
 
 from pyspark.sql.types import (
     ArrayType,
+    DoubleType,
     IntegerType,
     StringType,
     StructField,
@@ -154,12 +155,19 @@ def _extract_row(url, warc_ts, html, lang, options) -> dict:
 
 class KernelOptions:
     """Picklable kernel configuration broadcast to executors via the
-    mapInPandas closure (the reference's Options, SURVEY.md §1.4)."""
+    mapInPandas closure (the reference's Options, SURVEY.md §1.4).
+
+    ``with_timing=True`` adds a ``kernel_ms`` double column (wall time of
+    the Arrow batch each row was processed in) so skew is observable:
+    p99 per-partition time = percentile_approx(kernel_ms) grouped by
+    spark_partition_id (SURVEY.md §7.4.8)."""
 
     def __init__(self, opts_dict: dict | None = None,
-                 max_html_bytes: int = DEFAULT_MAX_HTML_BYTES):
+                 max_html_bytes: int = DEFAULT_MAX_HTML_BYTES,
+                 with_timing: bool = False):
         self.opts_dict = opts_dict or {}
         self.max_html_bytes = max_html_bytes
+        self.with_timing = with_timing
 
     def make_options(self, url: str):
         from .options import Options
@@ -175,9 +183,12 @@ def make_kernel(kernel_options: KernelOptions | None = None):
     ko = kernel_options or KernelOptions()
 
     def extract_batches(batches: Iterator) -> Iterator:
+        import time
+
         import pandas as pd
 
         for pdf in batches:
+            t0 = time.monotonic()
             urls = pdf["url"].tolist()
             htmls = pdf["html"].tolist()
             langs = pdf["lang"].tolist() if "lang" in pdf else [None] * len(urls)
@@ -189,6 +200,14 @@ def make_kernel(kernel_options: KernelOptions | None = None):
                 row = _extract_row(u, t, h, lg, ko)
                 for name in OUTPUT_COLUMNS:
                     cols[name].append(row[name])
-            yield pd.DataFrame(cols, columns=OUTPUT_COLUMNS)
+            out = pd.DataFrame(cols, columns=OUTPUT_COLUMNS)
+            if ko.with_timing:
+                out["kernel_ms"] = (time.monotonic() - t0) * 1000.0
+            yield out
 
     return extract_batches
+
+
+TIMED_OUTPUT_SCHEMA = StructType(
+    OUTPUT_SCHEMA.fields + [StructField("kernel_ms", DoubleType())]
+)

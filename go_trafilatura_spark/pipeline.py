@@ -78,6 +78,39 @@ def salted_repartition(df: DataFrame, num_partitions: int | None = None) -> Data
     return df.repartition(int(n), F.xxhash64(F.col("url"), salt))
 
 
+def partition_time_stats(timed_df: DataFrame) -> DataFrame:
+    """Skew observability (SURVEY.md §7.4.8): per-partition kernel time
+    distribution from extract_pages_timed — p50/p99/max show whether
+    salting kept partitions uniform. kernel_ms is constant per Arrow
+    batch, so per-partition time = sum of distinct batch times."""
+    per_part = (
+        timed_df.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .agg(F.sum_distinct("kernel_ms").alias("partition_ms"))
+    )
+    return per_part.agg(
+        F.count("*").alias("partitions"),
+        F.round(F.percentile_approx("partition_ms", 0.5), 1).alias("p50_ms"),
+        F.round(F.percentile_approx("partition_ms", 0.99), 1).alias("p99_ms"),
+        F.round(F.max("partition_ms"), 1).alias("max_ms"),
+    )
+
+
+def extract_pages_timed(
+    df: DataFrame,
+    options: dict | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """extract_pages with a per-batch kernel_ms column for skew analysis
+    via partition_time_stats."""
+    from .kernel import TIMED_OUTPUT_SCHEMA
+
+    cols = [c for c in ("url", "warc_ts", "html", "lang") if c in df.columns]
+    pruned = salted_repartition(df.select(*cols), num_partitions)
+    kernel = make_kernel(KernelOptions(options or {}, with_timing=True))
+    return pruned.mapInPandas(kernel, TIMED_OUTPUT_SCHEMA)
+
+
 def extract_pages(
     df: DataFrame,
     options: dict | None = None,

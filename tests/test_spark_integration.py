@@ -72,6 +72,20 @@ def test_spans(spark, smoke_dir):
         assert row["content_text"][first["start"]:first["end"]].strip() != ""
 
 
+def test_partition_time_stats(spark, smoke_dir):
+    """Per-partition kernel timing for skew observability."""
+    from go_trafilatura_spark.pipeline import extract_pages_timed, partition_time_stats
+
+    pages = read_pages(spark, os.path.join(smoke_dir, "pages.parquet"))
+    timed = extract_pages_timed(pages, num_partitions=4)
+    row = partition_time_stats(timed).collect()[0]
+    assert row["partitions"] >= 1
+    assert 0 < row["p50_ms"] <= row["p99_ms"] <= row["max_ms"] + 0.2
+    # the output rows still carry the full extraction schema
+    assert timed.columns[-1] == "kernel_ms"
+    assert "content_text" in timed.columns
+
+
 def test_resume_manifest(spark, smoke_dir):
     tmp = tempfile.mkdtemp(prefix="gts_resume_")
     try:
