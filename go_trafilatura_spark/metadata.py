@@ -827,6 +827,31 @@ _RX_DMY_DATE = stdlib_re.compile(r"\b(\d{1,2})\.(\d{1,2})\.(\d{4})\b")
 _RX_MDY_DATE = stdlib_re.compile(r"\b(\d{1,2})/(\d{1,2})/(\d{4})\b")
 _RX_DMY2_DATE = stdlib_re.compile(r"\b(\d{1,2})\.(\d{1,2})\.(\d{2})\b")
 
+_MONTHS = {
+    # en
+    "january": 1, "february": 2, "march": 3, "april": 4, "may": 5,
+    "june": 6, "july": 7, "august": 8, "september": 9, "october": 10,
+    "november": 11, "december": 12,
+    "jan": 1, "feb": 2, "mar": 3, "apr": 4, "jun": 6, "jul": 7, "aug": 8,
+    "sep": 9, "sept": 9, "oct": 10, "nov": 11, "dec": 12,
+    # de
+    "januar": 1, "februar": 2, "märz": 3, "mai": 5, "juni": 6, "juli": 7,
+    "oktober": 10, "dezember": 12, "okt": 10, "dez": 12,
+    # fr
+    "janvier": 1, "février": 2, "mars": 3, "avril": 4, "juin": 6,
+    "juillet": 7, "août": 8, "septembre": 9, "octobre": 10,
+    "novembre": 11, "décembre": 12,
+}
+_MONTH_ALT = "|".join(sorted(_MONTHS, key=len, reverse=True))
+# "January 20, 2020" / "Jan 20 2020"
+_RX_MDY_NAME = stdlib_re.compile(
+    rf"(?i)\b({_MONTH_ALT})\.?\s+(\d{{1,2}})(?:st|nd|rd|th)?,?\s+(\d{{4}})\b"
+)
+# "20. Januar 2020" / "20 janvier 2020"
+_RX_DMY_NAME = stdlib_re.compile(
+    rf"(?i)\b(\d{{1,2}})(?:st|nd|rd|th)?\.?\s+({_MONTH_ALT})\.?\s+(\d{{4}})\b"
+)
+
 
 def _valid_date(y: int, m: int, d: int) -> str:
     if 1995 <= y <= 2040 and 1 <= m <= 12 and 1 <= d <= 31:
@@ -847,6 +872,12 @@ def _parse_date_string(s: str) -> str:
     m = _RX_MDY_DATE.search(s)
     if m:
         return _valid_date(int(m.group(3)), int(m.group(1)), int(m.group(2)))
+    m = _RX_MDY_NAME.search(s)
+    if m:
+        return _valid_date(int(m.group(3)), _MONTHS[m.group(1).lower()], int(m.group(2)))
+    m = _RX_DMY_NAME.search(s)
+    if m:
+        return _valid_date(int(m.group(3)), _MONTHS[m.group(2).lower()], int(m.group(1)))
     m = _RX_DMY2_DATE.search(s)
     if m:
         return _valid_date(2000 + int(m.group(3)), int(m.group(2)), int(m.group(1)))
