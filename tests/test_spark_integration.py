@@ -53,6 +53,12 @@ def test_column_pruning(spark, smoke_dir):
     assert "text" not in read_schema.split("ReadSchema")[1]
     assert "html" in read_schema
 
+    # the cheap pre-parse language gate reaches the scan as a pushed filter
+    filtered = extract_pages(pages, lang_filter="en")
+    fplan = filtered._jdf.queryExecution().executedPlan().toString()
+    pushed = [l for l in fplan.splitlines() if "PushedFilters" in l][0]
+    assert "EqualTo(lang,en)" in pushed
+
 
 def test_spans(spark, smoke_dir):
     pages = read_pages(spark, os.path.join(smoke_dir, "pages.parquet"))
