@@ -85,7 +85,8 @@ def load_comparison_entries() -> list[dict]:
         url, i = _parse_go_string(src, i)
         # Skip to the entry struct body
         i = src.index("{", i) + 1
-        entry = {"url": url, "file": "", "with": [], "without": []}
+        entry = {"url": url, "file": "", "with": [], "without": [],
+                 "title": "", "date": "", "authors": []}
         depth = 1
         while i < n and depth > 0:
             m = re.match(r"\s*(File|Title|Date|Sitename|Description|License|Region|Authors|With|Without|Comments|Categories|Tags)\s*:", src[i:])
@@ -99,6 +100,10 @@ def load_comparison_entries() -> list[dict]:
                     val, i = _parse_go_string(src, i)
                     if field == "File":
                         entry["file"] = val
+                    elif field == "Title":
+                        entry["title"] = val
+                    elif field == "Date":
+                        entry["date"] = val
                 else:
                     i = src.index("{", i) + 1
                     vals, i = _parse_string_list(src, i)
@@ -106,6 +111,8 @@ def load_comparison_entries() -> list[dict]:
                         entry["with"] = vals
                     elif field == "Without":
                         entry["without"] = vals
+                    elif field == "Authors":
+                        entry["authors"] = vals
                 continue
             ch = src[i]
             if ch == "{":
@@ -130,16 +137,19 @@ def resolve_file(name: str) -> str | None:
 
 
 def build_dataframe(spark, entries: list[dict]):
-    """(url, html, with, without) rows for all resolvable entries."""
+    """(url, html, with, without, exp_*) rows for resolvable entries."""
     rows = []
     for e in entries:
         path = resolve_file(e["file"])
         if path is None:
             continue
         with open(path, "rb") as f:
-            rows.append((e["url"], bytearray(f.read()), e["with"], e["without"]))
+            rows.append((e["url"], bytearray(f.read()), e["with"], e["without"],
+                         e["title"], e["date"], "; ".join(e["authors"])))
     return spark.createDataFrame(
-        rows, "url string, html binary, with array<string>, without array<string>"
+        rows,
+        "url string, html binary, with array<string>, without array<string>, "
+        "exp_title string, exp_date string, exp_authors string",
     )
 
 
@@ -195,6 +205,39 @@ def score(spark, enable_fallback: bool = False, focus: int = 0,
     }
 
 
+def score_metadata(spark, entries: list[dict] | None = None):
+    """Metadata accuracy over the comparison corpus: exact-match rates
+    for title/date/authors on the entries that carry expectations."""
+    from pyspark.sql import functions as F
+
+    from .pipeline import extract_pages
+
+    entries = entries or load_comparison_entries()
+    df = build_dataframe(spark, entries)
+    extracted = extract_pages(
+        df.select("url", "html"),
+        options={"exclude_comments": True},
+        num_partitions=64,
+    )
+    joined = extracted.join(
+        F.broadcast(df.select("url", "exp_title", "exp_date", "exp_authors")), "url"
+    )
+    agg = joined.agg(
+        F.sum((F.col("exp_title") != "").cast("int")).alias("n_title"),
+        F.sum(((F.col("exp_title") != "") & (F.col("title") == F.col("exp_title"))).cast("int")).alias("title_ok"),
+        F.sum((F.col("exp_date") != "").cast("int")).alias("n_date"),
+        F.sum(((F.col("exp_date") != "") & (F.col("date") == F.col("exp_date"))).cast("int")).alias("date_ok"),
+        F.sum((F.col("exp_authors") != "").cast("int")).alias("n_authors"),
+        F.sum(((F.col("exp_authors") != "") & (F.col("author") == F.col("exp_authors"))).cast("int")).alias("authors_ok"),
+    ).collect()[0]
+    out = {}
+    for k in ("title", "date", "authors"):
+        n = agg[f"n_{k}"]
+        ok = agg[f"{k}_ok"]
+        out[k] = {"n": int(n), "exact": int(ok), "rate": round(ok / n, 4) if n else None}
+    return out
+
+
 if __name__ == "__main__":
     import json
     import sys
@@ -221,5 +264,8 @@ if __name__ == "__main__":
         res["sec"] = round(time.time() - t0, 2)
         results[name] = res
         print(name, json.dumps(res), file=sys.stderr)
+    if not only or "metadata" in only:
+        results["metadata"] = score_metadata(spark, entries)
+        print("metadata", json.dumps(results["metadata"]), file=sys.stderr)
     print(json.dumps(results))
     spark.stop()
