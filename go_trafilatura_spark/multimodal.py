@@ -61,6 +61,10 @@ class DecodeBackend:
     def sample_frames(self, payload: bytes, n: int) -> list[list[float]]:
         raise NotImplementedError("no video codec in this environment")
 
+    def decode_audio(self, payload: bytes) -> tuple[int, list[float]]:
+        """→ (sample_rate, mono samples in [-1,1])."""
+        raise NotImplementedError("no audio codec in this environment")
+
 
 class FakeDecodeBackend(DecodeBackend):
     """Deterministic synthetic decode: pixels derived from sha256 of the
@@ -85,6 +89,10 @@ class FakeDecodeBackend(DecodeBackend):
 
     def sample_frames(self, payload: bytes, n: int) -> list[list[float]]:
         return [self._plane(payload, b"frame%d" % i) for i in range(n)]
+
+    def decode_audio(self, payload: bytes) -> tuple[int, list[float]]:
+        samples = [(x * 2.0) - 1.0 for x in self._plane(payload, b"audio")]
+        return 16000, samples
 
 
 def _avg_pool(plane: list[float], w: int, h: int, ow: int, oh: int) -> list[float]:
@@ -154,6 +162,43 @@ def resize_images(df: DataFrame, out_w: int, out_h: int,
             yield pd.DataFrame(rows, columns=["media_id", "embedding"])
 
     return df.select("media_id", "kind", "payload").mapInPandas(batches, EMBED_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = StructType([
+    StructField("media_id", StringType()),
+    StructField("sample_rate", IntegerType()),
+    StructField("n_samples", IntegerType()),
+    StructField("rms", FloatType()),
+    StructField("peak", FloatType()),
+])
+
+
+def audio_features(df: DataFrame, backend: DecodeBackend | None = None) -> DataFrame:
+    """Decode audio → sample-rate / RMS / peak features (stub decode,
+    real Spark plumbing)."""
+    backend = backend or FakeDecodeBackend()
+
+    def batches(it: Iterator) -> Iterator:
+        import math
+
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for media_id, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                if kind != "audio" or payload is None:
+                    continue
+                rate, samples = backend.decode_audio(bytes(payload))
+                rms = math.sqrt(sum(s * s for s in samples) / len(samples)) if samples else 0.0
+                peak = max((abs(s) for s in samples), default=0.0)
+                rows.append({
+                    "media_id": media_id, "sample_rate": rate,
+                    "n_samples": len(samples),
+                    "rms": float(rms), "peak": float(peak),
+                })
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_FEATURES_SCHEMA.fields])
+
+    return df.select("media_id", "kind", "payload").mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
 
 
 def sample_video_frames(df: DataFrame, n_frames: int = 3,

@@ -326,3 +326,18 @@ def test_multimodal_plumbing(spark):
     # Determinism: same payload → same features
     feats2 = image_features(media).collect()
     assert sorted(r["phash"] for r in feats) == sorted(r["phash"] for r in feats2)
+
+    # Audio: stub decode, real plumbing
+    from go_trafilatura_spark.multimodal import audio_features
+
+    audio_rows = [
+        (f"a{i}", "audio", "audio/wav", bytes([i]) * 64, None, None, 1000)
+        for i in range(4)
+    ]
+    audio = spark.createDataFrame(audio_rows, MEDIA_SCHEMA)
+    afeats = audio_features(audio).collect()
+    assert len(afeats) == 4
+    for r in afeats:
+        assert r["sample_rate"] == 16000
+        assert r["n_samples"] == 64
+        assert 0.0 <= r["rms"] <= 1.0 and 0.0 <= r["peak"] <= 1.0
