@@ -98,59 +98,51 @@ def compute_spans(content_node, content_text: str) -> list[dict]:
     return spans
 
 
-def _extract_row(url, warc_ts, html, lang, options) -> dict:
+def _extract_row(url, warc_ts, html, lang, options) -> tuple:
+    """Returns values in OUTPUT_COLUMNS order:
+    (url, warc_ts, lang, content_text, comments_text, content_html,
+     comments_html, title, author, meta_url, hostname, description,
+     sitename, date, categories, tags, license, language, image,
+     page_type, reject_reason, content_spans)."""
     from . import etree
     from .core import ExtractError, extract
 
-    out = {
-        "url": url, "warc_ts": warc_ts, "lang": lang,
-        "content_text": None, "comments_text": None,
-        "content_html": None, "comments_html": None,
-        "title": None, "author": None, "meta_url": None, "hostname": None,
-        "description": None, "sitename": None, "date": None,
-        "categories": None, "tags": None, "license": None,
-        "language": None, "image": None, "page_type": None,
-        "reject_reason": None, "content_spans": None,
-    }
+    def rejected(reason: str) -> tuple:
+        return (url, warc_ts, lang) + (None,) * 17 + (reason, None)
 
     if html is None:
-        out["reject_reason"] = "null_html"
-        return out
+        return rejected("null_html")
     if isinstance(html, str):
         html = html.encode("utf-8", "replace")
     if len(html) > options.max_html_bytes:
-        out["reject_reason"] = "oversized"
-        return out
+        return rejected("oversized")
     # Cheap byte screen before parsing: must look like markup.
     head = html[:512].lstrip()
     if not head[:1] == b"<" and b"<html" not in head.lower() and b"<!doctype" not in head.lower():
         if b"<" not in head:
-            out["reject_reason"] = "not_html"
-            return out
+            return rejected("not_html")
 
     opts = options.make_options(url)
     try:
         res = extract(html, opts)
     except ExtractError as e:
-        out["reject_reason"] = e.reason
-        return out
+        return rejected(e.reason)
     except Exception:
-        out["reject_reason"] = "parse_error"
-        return out
+        return rejected("parse_error")
 
     m = res.metadata
-    out.update(
-        content_text=res.content_text,
-        comments_text=res.comments_text,
-        content_html=etree.tostring(res.content_node) if res.content_node is not None else "",
-        comments_html=etree.tostring(res.comments_node) if res.comments_node is not None else "",
-        title=m.title, author=m.author, meta_url=m.url, hostname=m.hostname,
-        description=m.description, sitename=m.sitename, date=m.date,
-        categories=m.categories, tags=m.tags, license=m.license,
-        language=m.language, image=m.image, page_type=m.page_type,
-        content_spans=compute_spans(res.content_node, res.content_text),
+    return (
+        url, warc_ts, lang,
+        res.content_text,
+        res.comments_text,
+        etree.tostring(res.content_node) if res.content_node is not None else "",
+        etree.tostring(res.comments_node) if res.comments_node is not None else "",
+        m.title, m.author, m.url, m.hostname, m.description, m.sitename,
+        m.date, m.categories, m.tags, m.license, m.language, m.image,
+        m.page_type,
+        None,
+        compute_spans(res.content_node, res.content_text),
     )
-    return out
 
 
 class KernelOptions:
@@ -195,12 +187,12 @@ def make_kernel(kernel_options: KernelOptions | None = None):
             tss = pdf["warc_ts"].tolist() if "warc_ts" in pdf else [None] * len(urls)
             # Columnar assembly: one list per output column (cheaper to
             # build and convert to Arrow than a list of per-row dicts).
-            cols: dict[str, list] = {name: [] for name in OUTPUT_COLUMNS}
+            col_lists: list[list] = [[] for _ in OUTPUT_COLUMNS]
             for u, t, h, lg in zip(urls, tss, htmls, langs):
                 row = _extract_row(u, t, h, lg, ko)
-                for name in OUTPUT_COLUMNS:
-                    cols[name].append(row[name])
-            out = pd.DataFrame(cols, columns=OUTPUT_COLUMNS)
+                for lst, value in zip(col_lists, row):
+                    lst.append(value)
+            out = pd.DataFrame(dict(zip(OUTPUT_COLUMNS, col_lists)), columns=OUTPUT_COLUMNS)
             if ko.with_timing:
                 out["kernel_ms"] = (time.monotonic() - t0) * 1000.0
             yield out
