@@ -357,3 +357,31 @@ def test_code_element():
     out = trim(etree.tostring(result.content_node))
     assert "<code>my code</code>" in out
     assert "<q>" not in out
+
+
+# --- Test_LanguageClassifier (trafilatura_test.go:245-275) --------------------
+
+def test_language_classifier_cases():
+    from go_trafilatura_spark.utils import language_classifier
+
+    assert language_classifier("Hier ist ein Text auf Deutsch", "") == "de"
+    assert language_classifier("Hier ist ein Text auf Deutsch", "") != "en"
+    # comments longer than content → classify the comments
+    assert language_classifier(
+        "Hier ist ein Text auf Deutsch", "Die Kommentare sind aber etwas länger."
+    ) == "de"
+    assert language_classifier(
+        "This is English.", "Die Kommentare sind aber etwas länger."
+    ) == "de"
+
+
+def test_language_in_extract_result():
+    from go_trafilatura_spark import Config, Options, extract
+
+    opts = Options(config=Config(min_extracted_size=0, min_output_size=0),
+                   enable_fallback=True, original_url="https://example.org")
+    result = extract("<html><body><p>Texto en español</p></body></html>", opts)
+    assert result.metadata.language == "es"
+
+    result = extract("<html><body><p>Après la pluie, le beau temps.</p></body></html>", opts)
+    assert result.metadata.language == "fr"
