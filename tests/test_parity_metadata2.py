@@ -214,3 +214,16 @@ def test_metadata_empty():
         assert m.title == "" and m.author == "" and m.url == ""
         assert m.hostname == "" and m.description == "" and m.sitename == ""
         assert m.date == "" and m.categories == [] and m.tags == []
+
+
+def test_metadata_title_from_file():
+    # metadata_test.go:117-118
+    import os
+    path = "/root/reference/test-files/simple/metadata-title.html"
+    if not os.path.exists(path):
+        import pytest
+        pytest.skip("reference corpus absent")
+    with open(path, "rb") as f:
+        doc = etree.parse_html(f.read())
+    from go_trafilatura_spark.metadata import extract_metadata
+    assert extract_metadata(doc, Options()).title == "Semantic satiation"
