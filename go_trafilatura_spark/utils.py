@@ -132,8 +132,11 @@ def uniquify_lists(*currents: str) -> list[str]:
 # ---------------------------------------------------------------------------
 
 def is_absolute_url(url: str) -> tuple:
+    """url.go:31-44 — http(s) only; invalid ports reject the URL (Go's
+    ParseRequestURI errors on them; Python defers until .port)."""
     try:
         parsed = urlparse(url)
+        parsed.port  # raises ValueError on non-numeric/out-of-range port
     except ValueError:
         return False, None
     if parsed.scheme not in ("http", "https") or not parsed.netloc:

@@ -297,3 +297,15 @@ def test_large_doc_performance():
     start = time.time()
     try_extract(html, zero_opts())
     assert time.time() - start <= 5.0
+
+
+# --- Test_isAbsoluteURL (url_test.go:30-41) -----------------------------------
+
+def test_is_absolute_url():
+    from go_trafilatura_spark.utils import is_absolute_url
+
+    assert is_absolute_url("http://www.test.org:7ERT/test")[0] is False
+    assert is_absolute_url("ntp://www.test.org/test")[0] is False
+    assert is_absolute_url("ftps://www.test.org/test")[0] is False
+    assert is_absolute_url("http://t.g/test")[0] is True
+    assert is_absolute_url("http://test.org/test")[0] is True
