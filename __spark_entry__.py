@@ -188,8 +188,8 @@ def q_text_output(spark, sf_dir):
 
 
 def q_json_output(spark, sf_dir):
-    """JSON sink (built-in to_json) — rows-only check (JSON formatting
-    differs across engines)."""
+    """JSON sink (built-in to_json), hash-compared against a DuckDB
+    string-concat reconstruction of the same payload from golden."""
     from go_trafilatura_spark.sinks import json_output
 
     _ensure_fixtures()
@@ -201,7 +201,8 @@ def q_json_output(spark, sf_dir):
 
 
 def q_readable_html(spark, sf_dir):
-    """Readable-HTML sink — rows-only check."""
+    """Readable-HTML sink, hash-compared against a golden-derived
+    reconstruction of the document string."""
     from go_trafilatura_spark.sinks import readable_html
 
     _ensure_fixtures()
@@ -457,6 +458,86 @@ FROM documents
 WHERE length(trim(text)) > 0"""
 
 
+def _je(expr: str) -> str:
+    """JSON string escape (backslash, quote) — fixture text has no control
+    chars, so this matches Jackson's output byte-for-byte."""
+    return (
+        "replace(replace(" + expr + ", '\\', '\\\\'), '\"', '\\\"')"
+    )
+
+
+def _he(expr: str) -> str:
+    """Go html.EscapeString: & ' < > \" (amp first)."""
+    out = expr
+    for raw, rep in (("&", "&amp;"), ("''", "&#39;"), ("<", "&lt;"),
+                     (">", "&gt;"), ('"', "&#34;")):
+        out = f"replace({out}, '{raw}', '{rep}')"
+    return out
+
+
+def _jarr(col: str) -> str:
+    """JSON array of strings, matching Spark to_json: [] or ["a","b"]."""
+    return (
+        "'[' || coalesce(array_to_string(list_transform(" + col
+        + ", x -> '\"' || " + _je("x") + " || '\"'), ','), '') || ']'"
+    )
+
+
+def _strip_body(col: str) -> str:
+    return (
+        "regexp_replace(regexp_replace(" + col + ", '^<body>', ''), '</body>$', '')"
+    )
+
+
+def _sql_json_output(golden: str) -> str:
+    """Reconstruct the Spark to_json payload (sinks.py json_output field
+    order) from the generator-predicted golden columns."""
+    return f"""
+SELECT url,
+  '{{"contentHTML":"' || {_je('content_html')}
+  || '","contentText":"' || {_je('content_text')}
+  || '","metadata":{{"title":"' || {_je('title')}
+  || '","author":"' || {_je('author')}
+  || '","url":"' || {_je('meta_url')}
+  || '","hostname":"' || {_je('hostname')}
+  || '","description":"' || {_je('description')}
+  || '","sitename":"' || {_je('sitename')}
+  || '","date":"' || {_je('"date"')}
+  || '","categories":' || {_jarr('categories')}
+  || ',"tags":' || {_jarr('tags')}
+  || ',"license":"' || {_je('license')}
+  || '"}},"commentsText":"' || {_je('comments_text')}
+  || '","commentsHTML":"' || {_je('comments_html')}
+  || '"}}' AS json_output
+FROM read_parquet('{golden}')"""
+
+
+def _sql_readable_html(golden: str) -> str:
+    """Reconstruct the readable document (sinks.py readable_html) from the
+    golden columns: meta head in _META_FIELDS order + content/comments divs."""
+    metas = []
+    for name, expr in (
+        ("title", "title"), ("author", "author"), ("url", "meta_url"),
+        ("hostname", "hostname"), ("description", "description"),
+        ("sitename", "sitename"), ("date", '"date"'),
+        ("categories", "coalesce(array_to_string(categories, ', '), '')"),
+        ("tags", "coalesce(array_to_string(tags, '; '), '')"), ("license", "license"),
+    ):
+        metas.append(
+            f"'<meta name=\"{name}\" content=\"' || {_he(expr)} || '\"/>'"
+        )
+    head = " || ".join(metas)
+    return f"""
+SELECT url,
+  '<html><head>' || {head} || '</head><body>'
+  || '<div id="content-body">' || {_strip_body('content_html')} || '</div>'
+  || CASE WHEN comments_html <> ''
+          THEN '<div id="comments-body">' || {_strip_body('comments_html')} || '</div>'
+          ELSE '' END
+  || '</body></html>' AS readable_html
+FROM read_parquet('{golden}')"""
+
+
 def oracle_sql() -> dict[str, str]:
     golden = GOLDEN_PARQUET.replace("'", "''")
     return {
@@ -556,9 +637,11 @@ SELECT url,
        (CASE WHEN comments_text <> '' THEN content_text || ' ' || comments_text
              ELSE content_text END) || chr(10) AS text_output
 FROM read_parquet('{golden}')""",
+        "json_output": _sql_json_output(golden),
+        "readable_html": _sql_readable_html(golden),
         "host_stats": (
             f"SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host, "
-            f"count(*) AS n_pages, sum(octet_length(html)) AS total_bytes "
+            f"count(*) AS n_pages, sum(octet_length(html))::BIGINT AS total_bytes "
             f"FROM read_parquet('{PAGES_PARQUET}') GROUP BY host"
         ),
     }

@@ -96,14 +96,24 @@ def _spans_from_parts(parts):
 
 def _mk_golden(url, family, content_text, comments_text="", title="", author="",
                sitename="", date="", categories=(), tags=(), reject_reason=None,
-               parts=None):
+               parts=None, html_parts=None, comment_paras=()):
+    """html_parts: the rendered element strings the kernel will keep in
+    content order — the predicted content_html is <body>+join+</body>.
+    comment_paras: predicted comments paragraphs (→ comments_html)."""
     spans = _spans_from_parts(parts) if parts else []
+    content_html = "<body>" + "".join(html_parts) + "</body>" if html_parts else ""
+    comments_html = (
+        "<body>" + "".join(f"<p>{c}</p>" for c in comment_paras) + "</body>"
+        if comment_paras else ""
+    )
     return {
         "url": url,
         "family": family,
         "spans": spans,
         "content_text": content_text,
         "comments_text": comments_text,
+        "content_html": content_html,
+        "comments_html": comments_html,
         "title": title,
         "author": author,
         "sitename": sitename,
@@ -135,7 +145,9 @@ def _gen_article_simple(rng, url, lang):
     html = _wrap(f"<title>{heading}</title>", body, lang)
     expected = " ".join([heading] + paras)
     parts = [("h1", heading)] + [("p", p) for p in paras]
-    return html, _mk_golden(url, "article_simple", expected, title=heading, parts=parts)
+    hp = [f"<h1>{heading}</h1>"] + [f"<p>{p}</p>" for p in paras]
+    return html, _mk_golden(url, "article_simple", expected, title=heading, parts=parts,
+                            html_parts=hp)
 
 
 def _gen_div_classed(rng, url, lang):
@@ -151,7 +163,9 @@ def _gen_div_classed(rng, url, lang):
     html = _wrap(f"<title>{heading}</title>", body, lang)
     expected = " ".join([heading] + paras)
     parts = [("h1", heading)] + [("p", p) for p in paras]
-    return html, _mk_golden(url, "div_classed", expected, title=heading, parts=parts)
+    hp = [f"<h1>{heading}</h1>"] + [f"<p>{p}</p>" for p in paras]
+    return html, _mk_golden(url, "div_classed", expected, title=heading, parts=parts,
+                            html_parts=hp)
 
 
 def _gen_boilerplate_heavy(rng, url, lang):
@@ -170,7 +184,9 @@ def _gen_boilerplate_heavy(rng, url, lang):
     html = _wrap(f"<title>{heading}</title>", body, lang)
     expected = " ".join([heading] + paras)
     parts = [("h1", heading)] + [("p", p) for p in paras]
-    return html, _mk_golden(url, "boilerplate_heavy", expected, title=heading, parts=parts)
+    hp = [f"<h1>{heading}</h1>"] + [f"<p>{p}</p>" for p in paras]
+    return html, _mk_golden(url, "boilerplate_heavy", expected, title=heading, parts=parts,
+                            html_parts=hp)
 
 
 def _gen_linkfarm(rng, url, lang):
@@ -189,7 +205,9 @@ def _gen_linkfarm(rng, url, lang):
     html = _wrap(f"<title>{heading}</title>", body, lang)
     expected = " ".join([heading] + paras)
     parts = [("h1", heading)] + [("p", p) for p in paras]
-    return html, _mk_golden(url, "linkfarm", expected, title=heading, parts=parts)
+    hp = [f"<h1>{heading}</h1>"] + [f"<p>{p}</p>" for p in paras]
+    return html, _mk_golden(url, "linkfarm", expected, title=heading, parts=parts,
+                            html_parts=hp)
 
 
 def _gen_lists(rng, url, lang):
@@ -207,7 +225,11 @@ def _gen_lists(rng, url, lang):
     html = _wrap(f"<title>{heading}</title>", body, lang)
     expected = " ".join([heading, paras[0]] + items + [paras[1]])
     parts = [("h1", heading), ("p", paras[0]), ("ul", " ".join(items)), ("p", paras[1])]
-    return html, _mk_golden(url, "lists", expected, title=heading, parts=parts)
+    hp = [f"<h1>{heading}</h1>", f"<p>{paras[0]}</p>",
+          "<ul>" + "".join(f"<li>{it}</li>" for it in items) + "</ul>",
+          f"<p>{paras[1]}</p>"]
+    return html, _mk_golden(url, "lists", expected, title=heading, parts=parts,
+                            html_parts=hp)
 
 
 def _gen_tables(rng, url, lang):
@@ -229,7 +251,12 @@ def _gen_tables(rng, url, lang):
     flat_cells = ["Name", "Value"] + [w for row in cells for w in row]
     expected = " ".join([heading, paras[0]] + flat_cells + [paras[1]])
     parts = [("h1", heading), ("p", paras[0]), ("table", " ".join(flat_cells)), ("p", paras[1])]
-    return html, _mk_golden(url, "tables", expected, title=heading, parts=parts)
+    kept_table = ("<table><tr><th>Name</th><th>Value</th></tr>"
+                  + "".join(f"<tr><td>{a}</td><td>{b}</td></tr>" for a, b in cells)
+                  + "</table>")
+    hp = [f"<h1>{heading}</h1>", f"<p>{paras[0]}</p>", kept_table, f"<p>{paras[1]}</p>"]
+    return html, _mk_golden(url, "tables", expected, title=heading, parts=parts,
+                            html_parts=hp)
 
 
 def _gen_code_blocks(rng, url, lang):
@@ -247,7 +274,10 @@ def _gen_code_blocks(rng, url, lang):
     html = _wrap(f"<title>{heading}</title>", body, lang)
     expected = " ".join([heading, paras[0], code, paras[1]])
     parts = [("h1", heading), ("p", paras[0]), ("code", code), ("p", paras[1])]
-    return html, _mk_golden(url, "code_blocks", expected, title=heading, parts=parts)
+    hp = [f"<h1>{heading}</h1>", f"<p>{paras[0]}</p>", f"<code>{code}</code>",
+          f"<p>{paras[1]}</p>"]
+    return html, _mk_golden(url, "code_blocks", expected, title=heading, parts=parts,
+                            html_parts=hp)
 
 
 def _gen_comments_section(rng, url, lang):
@@ -267,9 +297,10 @@ def _gen_comments_section(rng, url, lang):
     expected = " ".join([heading] + paras)
     expected_comments = " ".join(comments)
     parts = [("h1", heading)] + [("p", p) for p in paras]
+    hp = [f"<h1>{heading}</h1>"] + [f"<p>{p}</p>" for p in paras]
     return html, _mk_golden(
         url, "comments_section", expected, comments_text=expected_comments,
-        title=heading, parts=parts,
+        title=heading, parts=parts, html_parts=hp, comment_paras=comments,
     )
 
 
@@ -313,10 +344,11 @@ def _gen_metadata_rich(rng, url, lang):
     # og:title wins; JSON-LD author overrides meta author (same value here);
     # categories/tags come from JSON-LD.
     parts = [("h1", heading)] + [("p", p) for p in paras]
+    hp = [f"<h1>{heading}</h1>"] + [f"<p>{p}</p>" for p in paras]
     return html, _mk_golden(
         url, "metadata_rich", expected, title=heading, author=author,
         sitename=sitename, date=date, categories=[category], tags=tags,
-        parts=parts,
+        parts=parts, html_parts=hp,
     )
 
 
@@ -328,13 +360,16 @@ def _gen_baseline_only(rng, url, lang):
     # No content container → wild-text recovery picks up bare <p>s.
     expected = " ".join(paras)
     parts = [("p", p) for p in paras]
-    return html, _mk_golden(url, "baseline_only", expected, title="bare page", parts=parts)
+    hp = [f"<p>{p}</p>" for p in paras]
+    return html, _mk_golden(url, "baseline_only", expected, title="bare page", parts=parts,
+                            html_parts=hp)
 
 
 def _gen_reject_short(rng, url, lang):
     body = "<article><p>ok.</p></article>"
     html = _wrap("<title>tiny</title>", body, lang)
-    return html, _mk_golden(url, "reject_short", "ok.", title="tiny", reject_reason=None)
+    return html, _mk_golden(url, "reject_short", "ok.", title="tiny", reject_reason=None,
+                            html_parts=["<p>ok.</p>"])
 
 
 def _gen_giant_doc(rng, url, lang):
@@ -349,7 +384,9 @@ def _gen_giant_doc(rng, url, lang):
     html = _wrap(f"<title>{heading}</title>", body, lang)
     expected = " ".join([heading] + paras)
     parts = [("h1", heading)] + [("p", p) for p in paras]
-    return html, _mk_golden(url, "giant_doc", expected, title=heading, parts=parts)
+    hp = [f"<h1>{heading}</h1>"] + [f"<p>{p}</p>" for p in paras]
+    return html, _mk_golden(url, "giant_doc", expected, title=heading, parts=parts,
+                            html_parts=hp)
 
 
 _FAMILIES = (
@@ -422,6 +459,10 @@ def write_fixtures(out_dir: str, n: int, seed: int = 42) -> None:
     pq.write_table(pages_table, os.path.join(out_dir, "pages.parquet"))
 
     g = [p.golden for p in pages]
+
+    def _host_of(u: str) -> str:
+        return u.split("://", 1)[1].split("/", 1)[0]
+
     golden_table = pa.table({
         "url": pa.array([x["url"] for x in g], pa.string()),
         "span_starts": pa.array([[s[0] for s in x["spans"]] for x in g], pa.list_(pa.int32())),
@@ -430,28 +471,46 @@ def write_fixtures(out_dir: str, n: int, seed: int = 42) -> None:
         "family": pa.array([x["family"] for x in g], pa.string()),
         "content_text": pa.array([x["content_text"] for x in g], pa.string()),
         "comments_text": pa.array([x["comments_text"] for x in g], pa.string()),
+        "content_html": pa.array([x["content_html"] for x in g], pa.string()),
+        "comments_html": pa.array([x["comments_html"] for x in g], pa.string()),
         "title": pa.array([x["title"] for x in g], pa.string()),
         "author": pa.array([x["author"] for x in g], pa.string()),
+        # meta_url/hostname: the extractor falls back to the page url (no
+        # og:url in any fixture family), so both derive from the url.
+        "meta_url": pa.array([x["url"] for x in g], pa.string()),
+        "hostname": pa.array([_host_of(x["url"]) for x in g], pa.string()),
+        "description": pa.array(["" for _ in g], pa.string()),
         "sitename": pa.array([x["sitename"] for x in g], pa.string()),
         "date": pa.array([x["date"] for x in g], pa.string()),
         "categories": pa.array([x["categories"] for x in g], pa.list_(pa.string())),
         "tags": pa.array([x["tags"] for x in g], pa.list_(pa.string())),
+        "license": pa.array(["" for _ in g], pa.string()),
     })
     pq.write_table(golden_table, os.path.join(out_dir, "golden.parquet"))
 
 
 FIXTURE_ROOT = "/root/repo/fixtures"
 SCALES = {"smoke": 120, "correctness": 800, "bench": 4000}
+# Bump when the golden schema/prediction changes so stale parquet on disk
+# is regenerated (fixture content itself is deterministic, seed=42).
+FIXTURE_VERSION = "2"
 
 
 def ensure_fixtures(scale: str = "correctness") -> str:
-    """Generate (once) and return the fixture dir for a scale tier."""
+    """Generate (once per FIXTURE_VERSION) and return the fixture dir."""
     import os
 
     out_dir = os.path.join(FIXTURE_ROOT, scale)
     marker = os.path.join(out_dir, "pages.parquet")
-    if not os.path.exists(marker):
+    vfile = os.path.join(out_dir, "VERSION")
+    current = None
+    if os.path.exists(vfile):
+        with open(vfile) as f:
+            current = f.read().strip()
+    if not os.path.exists(marker) or current != FIXTURE_VERSION:
         write_fixtures(out_dir, SCALES[scale], seed=42)
+        with open(vfile, "w") as f:
+            f.write(FIXTURE_VERSION)
     return out_dir
 
 
