@@ -47,6 +47,61 @@ _HEAD_ONLY = frozenset(
     "title base basefont bgsound link meta style".split()
 )
 
+# HTML5 "formatting" category — tracked in the list of active formatting
+# elements for reconstruction and the adoption agency algorithm.
+_FORMATTING = frozenset("a b big code em font i nobr s small strike strong tt u".split())
+
+# HTML5 "special" category (the subset that can occur in body content) —
+# used as the furthest-block test in the adoption agency algorithm and as
+# the stop condition for "any other end tag".
+_SPECIAL = frozenset(
+    (
+        "address applet area article aside base basefont bgsound blockquote "
+        "body br button caption center col colgroup dd details dir div dl dt "
+        "embed fieldset figcaption figure footer form frame frameset h1 h2 "
+        "h3 h4 h5 h6 head header hgroup hr html iframe img input li link "
+        "listing main marquee menu meta nav noembed noframes noscript object "
+        "ol p param plaintext pre script section select source style summary "
+        "table tbody td template textarea tfoot th thead title tr track ul "
+        "wbr xmp"
+    ).split()
+)
+
+# Start tags whose "in body" spec rule has no reconstruct step.
+_NO_RECONSTRUCT = frozenset(
+    (
+        "address article aside blockquote center details dialog dir div dl "
+        "dd dt fieldset figcaption figure footer form frame frameset h1 h2 "
+        "h3 h4 h5 h6 header hgroup hr html head body iframe li link listing "
+        "main menu meta nav noembed noframes noscript ol p plaintext pre "
+        "script section style summary table title ul caption col colgroup "
+        "tbody td tfoot th thead tr base basefont bgsound template textarea "
+        "xmp"
+    ).split()
+)
+
+# End tags closed with in-scope rules (stop only at scope barriers); all
+# other end tags use the "any other end tag" rule (stop at any special).
+_BLOCK_END = frozenset(
+    (
+        "address article aside blockquote button center details dialog dir "
+        "div dl dd dt fieldset figcaption figure footer form h1 h2 h3 h4 h5 "
+        "h6 header hgroup li listing main menu nav ol p pre section summary ul"
+    ).split()
+)
+
+# Insertion points where non-table content must be foster-parented
+# (HTML5 "in table": text/elements misplaced inside table structure are
+# re-inserted immediately before the table).
+_TABLE_CONTEXT = frozenset("table tbody thead tfoot tr".split())
+_IN_TABLE_OK = frozenset(
+    "caption colgroup col tbody tfoot thead tr td th script style template form".split()
+)
+
+# Elements that push a marker onto the active formatting list (formatting
+# never reconstructs across these boundaries).
+_AFE_MARKER_TAGS = frozenset("td th caption applet object marquee template".split())
+
 
 _EMPTY_ATTRIB: dict = {}
 
@@ -496,6 +551,21 @@ def _serialize(el: Element, out: list[str]) -> None:
 # HTML parsing (HTML5-lite tree construction)
 # ---------------------------------------------------------------------------
 
+class _FmtEntry:
+    """Active-formatting-elements entry: the tag/attrib that recreate the
+    element on reconstruction, plus the currently-open element for it."""
+
+    __slots__ = ("tag", "attrib", "el")
+
+    def __init__(self, tag: str, attrib: dict | None, el):
+        self.tag = tag
+        self.attrib = attrib
+        self.el = el
+
+
+_AFE_MARKER = object()
+
+
 class _TreeBuilder(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
@@ -514,6 +584,8 @@ class _TreeBuilder(HTMLParser):
         self.html.children.append(self.body)
         self.stack: list[Element] = []  # open elements below body
         self.in_body = False
+        # List of active formatting elements (_FmtEntry | _AFE_MARKER).
+        self.afe: list = []
 
     # -- helpers ----------------------------------------------------------
     def _current(self) -> Element:
@@ -528,14 +600,191 @@ class _TreeBuilder(HTMLParser):
         else:
             el.text += data
 
+    def _pop_to(self, i: int) -> None:
+        """Pop stack[i:]; leaving a table cell/caption clears the active
+        formatting list to its marker (spec 'close the cell')."""
+        dropped = self.stack[i:]
+        del self.stack[i:]
+        for el in dropped:
+            if el.tag in ("td", "th", "caption"):
+                self._clear_afe_to_marker()
+
     def _close_upto(self, targets: tuple, stops: tuple) -> None:
         for i in range(len(self.stack) - 1, -1, -1):
             t = self.stack[i].tag
             if t in targets:
-                del self.stack[i:]
+                self._pop_to(i)
                 return
             if t in stops:
                 return
+
+    # -- active formatting elements -----------------------------------------
+    def _clear_afe_to_marker(self) -> None:
+        afe = self.afe
+        while afe:
+            if afe.pop() is _AFE_MARKER:
+                return
+
+    def _in_stack(self, el) -> bool:
+        for n in self.stack:
+            if n is el:
+                return True
+        return False
+
+    def _push_formatting(self, el: Element) -> None:
+        # Noah's Ark clause: at most 3 identical (tag, attrib) entries
+        # since the last marker — bounds afe growth on wild HTML with
+        # thousands of unclosed formatting tags.
+        afe = self.afe
+        attrib = el.attrib if el.attrib else {}
+        count = 0
+        for k in range(len(afe) - 1, -1, -1):
+            e = afe[k]
+            if e is _AFE_MARKER:
+                break
+            if e.tag == el.tag and (e.attrib or {}) == attrib:
+                count += 1
+                if count == 3:
+                    del afe[k]
+                    break
+        afe.append(_FmtEntry(el.tag, el.attrib, el))
+
+    def _reconstruct(self) -> None:
+        """Reconstruct active formatting elements: formatting tags left
+        open when a block boundary popped them re-open at the current
+        insertion point (HTML5 'reconstruct the active formatting
+        elements')."""
+        afe = self.afe
+        if not afe or len(self.stack) >= 400:
+            return
+        last = afe[-1]
+        if last is _AFE_MARKER or self._in_stack(last.el):
+            return
+        i = len(afe) - 1
+        while i > 0:
+            prev = afe[i - 1]
+            if prev is _AFE_MARKER or self._in_stack(prev.el):
+                break
+            i -= 1
+        for j in range(i, len(afe)):
+            entry = afe[j]
+            parent = self._current()
+            el = Element(entry.tag, dict(entry.attrib) if entry.attrib else None)
+            el.parent = parent
+            parent.children.append(el)
+            if len(self.stack) < 400:
+                self.stack.append(el)
+            entry.el = el
+
+    def _any_other_end(self, tag: str) -> None:
+        """HTML5 'any other end tag': walk up, close at a match, ignore
+        the token if a special element is hit first."""
+        for i in range(len(self.stack) - 1, -1, -1):
+            t = self.stack[i].tag
+            if t == tag:
+                self._pop_to(i)
+                return
+            if t in _SPECIAL:
+                return
+
+    def _adoption(self, tag: str) -> None:
+        """Adoption agency algorithm (single-pass form) for a formatting
+        end tag. Matches browser trees for the canonical misnesting cases
+        (<b>1<i>2</b>3</i>, <b>1<p>2</b>3</p>, re-opened <a>). Documented
+        deviation from the spec's 8-iteration loop: after adopting across
+        a furthest block the formatting entry is considered closed (the
+        end tag was explicit) instead of re-entering the list."""
+        afe, stack = self.afe, self.stack
+        entry = None
+        for e in reversed(afe):
+            if e is _AFE_MARKER:
+                break
+            if e.tag == tag:
+                entry = e
+                break
+        if entry is None:
+            self._any_other_end(tag)
+            return
+        fe = entry.el
+        fe_idx = -1
+        for i in range(len(stack) - 1, -1, -1):
+            if stack[i] is fe:
+                fe_idx = i
+                break
+        if fe_idx < 0:
+            afe.remove(entry)
+            return
+        fb_idx = -1
+        for i in range(fe_idx + 1, len(stack)):
+            if stack[i].tag in _SPECIAL:
+                fb_idx = i
+                break
+        if fb_idx < 0:
+            # No furthest block: plain pop through the formatting element;
+            # formatting opened above it stays in afe for reconstruction.
+            self._pop_to(fe_idx)
+            afe.remove(entry)
+            return
+        fb = stack[fb_idx]
+        common = stack[fe_idx - 1] if fe_idx > 0 else self.body
+        # Wrap the furthest block's current children in a clone of the
+        # formatting element ("2" stays bold) ...
+        cl = Element(fe.tag, dict(fe.attrib) if fe.attrib else None)
+        cl.text = fb.text
+        fb.text = ""
+        cl.children = fb.children
+        for c in cl.children:
+            c.parent = cl
+        cl.parent = fb
+        fb.children = [cl]
+        # ... and reparent the furthest block out of the formatting element
+        # to the common ancestor ("3" after </b> is not bold).
+        if fb.parent is not common:
+            if fb.parent is not None:
+                if fb.tail:
+                    _merge_text_before(fb, fb.tail)
+                    fb.tail = ""
+                fb.parent.children.remove(fb)
+            fb.parent = common
+            common.children.append(fb)
+        afe.remove(entry)
+        # Drop the formatting element and intermediates; the furthest
+        # block (and anything inside it) stays open.
+        del stack[fe_idx:fb_idx]
+
+    # -- foster parenting -----------------------------------------------------
+    def _foster_target(self):
+        for i in range(len(self.stack) - 1, -1, -1):
+            if self.stack[i].tag == "table":
+                table = self.stack[i]
+                parent = table.parent
+                if parent is None:
+                    parent = self.stack[i - 1] if i > 0 else self.body
+                return parent, table
+        return self.body, None
+
+    def _foster_insert(self, el: Element) -> None:
+        parent, table = self._foster_target()
+        if table is not None:
+            for idx, child in enumerate(parent.children):
+                if child is table:
+                    parent.children.insert(idx, el)
+                    el.parent = parent
+                    return
+        el.parent = parent
+        parent.children.append(el)
+
+    def _foster_text(self, data: str) -> None:
+        parent, table = self._foster_target()
+        if table is not None:
+            for idx, child in enumerate(parent.children):
+                if child is table:
+                    if idx > 0:
+                        parent.children[idx - 1].tail += data
+                    else:
+                        parent.text += data
+                    return
+        self._append_text(data, parent)
 
     def _autoclose(self, tag: str) -> None:
         if tag in _P_CLOSERS:
@@ -590,15 +839,46 @@ class _TreeBuilder(HTMLParser):
             self.stack.append(el)
             return
         self.in_body = True
+        if tag == "a":
+            # Spec: a new <a> with an <a> still in the formatting list
+            # implies the old one's end tag (adoption agency), then drops
+            # its entry.
+            for e in reversed(self.afe):
+                if e is _AFE_MARKER:
+                    break
+                if e.tag == "a":
+                    self._adoption("a")
+                    if e in self.afe:
+                        self.afe.remove(e)
+                    for i in range(len(self.stack) - 1, -1, -1):
+                        if self.stack[i] is e.el:
+                            del self.stack[i]
+                            break
+                    break
+        if tag == "table":
+            # A <table> start inside an open table (outside any cell)
+            # implies </table> first.
+            self._close_upto(("table",), ("td", "th", "caption"))
         self._autoclose(tag)
         parent = self._current()
+        fostered = parent.tag in _TABLE_CONTEXT and tag not in _IN_TABLE_OK
+        if not fostered and self.afe and tag not in _NO_RECONSTRUCT:
+            self._reconstruct()
+            parent = self._current()
         el = Element(tag, attrib)
-        el.parent = parent
-        parent.children.append(el)
+        if fostered:
+            self._foster_insert(el)
+        else:
+            el.parent = parent
+            parent.children.append(el)
         # Depth cap: pathological nesting (100 TB of wild HTML contains
         # everything) must not push recursion limits in later tree ops.
         if tag not in VOID_ELEMENTS and len(self.stack) < 400:
             self.stack.append(el)
+        if tag in _FORMATTING:
+            self._push_formatting(el)
+        elif tag in _AFE_MARKER_TAGS:
+            self.afe.append(_AFE_MARKER)
 
     def handle_startendtag(self, tag: str, attrs) -> None:
         if tag in VOID_ELEMENTS:
@@ -614,9 +894,26 @@ class _TreeBuilder(HTMLParser):
             self.stack.clear()
             self.in_body = True
             return
+        if tag == "br":
+            # Spec: </br> acts as a <br> start tag.
+            self.handle_starttag("br", [])
+            return
+        if tag in _FORMATTING:
+            self._adoption(tag)
+            return
+        if tag in ("td", "th", "caption"):
+            self._close_upto((tag,), ("table",))
+            return
+        if tag == "table":
+            self._close_upto(("table",), ())
+            return
+        stops = _SCOPE_BARRIERS if tag in _BLOCK_END else _SPECIAL
         for i in range(len(self.stack) - 1, -1, -1):
-            if self.stack[i].tag == tag:
-                del self.stack[i:]
+            t = self.stack[i].tag
+            if t == tag:
+                self._pop_to(i)
+                return
+            if t in stops:
                 return
         # ignore unmatched end tag
 
@@ -625,6 +922,17 @@ class _TreeBuilder(HTMLParser):
             if data.strip() == "":
                 return
             self.in_body = True
+        cur = self._current()
+        if cur.tag in _TABLE_CONTEXT:
+            # Foster-parent non-whitespace text out of table structure;
+            # whitespace between rows/sections stays put.
+            if data.strip() == "":
+                self._append_text(data)
+            else:
+                self._foster_text(data)
+            return
+        if self.in_body and self.afe:
+            self._reconstruct()
         self._append_text(data)
 
     def handle_comment(self, data: str) -> None:
