@@ -66,7 +66,7 @@ def _candidates(cleaned_doc: Element, options):
         for candidate in options.fallback_candidates:
             if candidate is not None:
                 yield candidate
-    yield readability_candidate(cleaned_doc)
+    yield readability_candidate(cleaned_doc, options)
     # Second slot (the reference's distiller position — external.go:141-158,
     # consulted only while the extraction is still below MinExtractedSize):
     # a boilerpipe-style block classifier, structurally different from the
@@ -229,29 +229,58 @@ def distiller_candidate(doc: Element) -> Element | None:
     return out
 
 
-def readability_candidate(doc: Element) -> Element | None:
-    """arc90-style scorer shaped like go-readability's output: a <div>
-    page wrapper holding the top candidate (divs without block children
-    are first converted to <p>, empty paragraphs are dropped)."""
+def readability_candidate(doc: Element, options=None) -> Element | None:
+    """go-readability-shaped candidate: grabArticle with the library's
+    retry pipeline (reference external.go:134-139 delegates to
+    go-readability's FromDocument) — if the scored article is shorter
+    than the 500-char threshold, retry with the strip-unlikelys and then
+    the class-weight flag dropped, finally keeping the longest attempt."""
     body = etree.body_of(doc)
     if body is None:
         return None
-    work = etree.clone(body, True)
+    base = etree.clone(body, True)
 
     # prepDocument: drop non-content machinery before scoring
-    etree.strip_elements(work, False, "script", "style", "noscript", "template", "iframe")
-    _replace_double_brs(work)
+    etree.strip_elements(base, False, "script", "style", "noscript", "template", "iframe")
+    if options is not None and options.exclude_tables:
+        # Tables will be sanitized out of whatever candidate wins; a
+        # table-farm page must not crowd out the prose it also carries.
+        etree.strip_elements(base, False, "table")
+    _replace_double_brs(base)
 
+    best: Element | None = None
+    best_len = -1
+    for strip_unlikely, weight_classes in ((True, True), (False, True), (False, False)):
+        out = _grab_article(etree.clone(base, True), strip_unlikely, weight_classes)
+        if out is None:
+            continue
+        out_len = len(trim(etree.text_content(out)))
+        if out_len >= 500:
+            return out
+        if out_len > best_len:
+            best, best_len = out, out_len
+    return best
+
+
+def _grab_article(work: Element, strip_unlikely: bool, weight_classes: bool) -> Element | None:
+    """One grabArticle pass (readability.js heuristics, arc90 scoring)."""
     # Remove unlikely candidates (readability.js removeUnlikelyCandidates)
-    for el in reversed(etree.get_elements_by_tag(work, "*")):
-        match_str = el.get("class") + " " + el.get("id")
-        if (
-            _UNLIKELY.search(match_str)
-            and not _OK_MAYBE.search(match_str)
-            and el.tag not in ("body", "a")
-            and el.parent is not None
-        ):
-            etree.remove(el, keep_tail=True)
+    if strip_unlikely:
+        for el in reversed(etree.get_elements_by_tag(work, "*")):
+            match_str = el.get("class") + " " + el.get("id")
+            if (
+                _UNLIKELY.search(match_str)
+                and not _OK_MAYBE.search(match_str)
+                and el.tag not in ("body", "a")
+                and el.parent is not None
+            ):
+                etree.remove(el, keep_tail=True)
+
+    # readability.js: wrap runs of phrasing content inside divs into <p>
+    # (a div mixing bare text/inline tags with block children scores its
+    # text through these synthetic paragraphs).
+    for el in etree.get_elements_by_tag(work, "div"):
+        _wrap_div_phrasing(el)
 
     # div → p transform for divs with no block-level children
     for el in reversed(etree.get_elements_by_tag(work, "div")):
@@ -259,6 +288,8 @@ def readability_candidate(doc: Element) -> Element | None:
             el.tag = "p"
 
     def class_weight(el: Element) -> float:
+        if not weight_classes:
+            return 0.0
         w = 0.0
         idclass = el.get("class") + " " + el.get("id")
         if _NEGATIVE.search(idclass):
@@ -387,6 +418,74 @@ _PHRASING = frozenset(
     "a abbr b bdo br cite code dfn em i img kbd label mark q s samp small "
     "span strike strong sub sup tt u var wbr time font".split()
 )
+
+
+def _wrap_div_phrasing(node: Element) -> None:
+    """readability.js grabArticle: inside a div that mixes loose phrasing
+    content (text, inline tags, brs) with block children, wrap each
+    phrasing run into a synthetic <p> so its text takes part in scoring."""
+    kids = node.children
+    if not kids:
+        return
+    has_block = any(
+        c.tag not in _PHRASING and c.tag != etree.COMMENT for c in kids
+    )
+    if not has_block:
+        return
+
+    items: list = []
+    if node.text:
+        items.append(("#text", node.text))
+    for child in kids:
+        items.append(("el", child))
+        if child.tail:
+            items.append(("#text", child.tail))
+            child.tail = ""
+    node.text = ""
+    node.children = []
+
+    p: Element | None = None
+    prev: Element | None = None
+
+    def _emit_direct(kind, val):
+        nonlocal p, prev
+        if kind == "#text":
+            if node.children:
+                node.children[-1].tail += val
+            else:
+                node.text += val
+        else:
+            val.parent = node
+            node.children.append(val)
+
+    for kind, val in items:
+        is_phrasing = kind == "#text" or val.tag in _PHRASING or val.tag == etree.COMMENT
+        if not is_phrasing:
+            _emit_direct(kind, val)
+            p = None
+            prev = None
+            continue
+        if p is None:
+            # don't open a paragraph for bare whitespace / stray brs
+            if kind == "#text" and not val.strip():
+                _emit_direct(kind, val)
+                continue
+            if kind == "el" and val.tag in ("br", etree.COMMENT):
+                _emit_direct(kind, val)
+                continue
+            p = Element("p")
+            p.parent = node
+            node.children.append(p)
+            prev = None
+        if kind == "#text":
+            if prev is None:
+                p.text += val
+            else:
+                prev.tail += val
+        else:
+            val.parent = p
+            p.children.append(val)
+            prev = val
 
 
 def _replace_double_brs(root: Element) -> None:

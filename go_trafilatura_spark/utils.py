@@ -21,15 +21,12 @@ from .etree import Element
 
 
 def trim(s: str) -> str:
-    """Collapse all whitespace runs to single spaces and strip; remove
-    soft hyphens (U+00AD). The whitespace handling matches Go
-    strings.Join(strings.Fields(s), " "); the soft-hyphen removal
-    matches trafilatura's line trimming (its golden expectations, e.g.
-    realworld_test.go:113, contain the de-hyphenated text)."""
+    """Collapse all whitespace runs to single spaces and strip, matching
+    Go strings.Join(strings.Fields(s), " ") (utils-common.go:31). Soft
+    hyphens are kept: the reference never strips them and its comparison
+    expectations (scripts/comparison/data.go) contain 47 of them."""
     if not s:
         return ""
-    if "­" in s:
-        s = s.replace("­", "")
     return " ".join(s.split())
 
 

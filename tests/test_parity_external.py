@@ -68,16 +68,6 @@ def test_exclude_tables_apache():
     assert "localhost:80" not in result.content_text
 
 
-@pytest.mark.xfail(
-    reason=(
-        "fallback-candidate divergence: go-readability's full retry/"
-        "conditional-clean pipeline recovers the br-separated intro text "
-        "on this table-farm page; our compact readability-style scorer "
-        "selects the table candidate instead. Fallback parity is "
-        "best-effort per SURVEY.md §7.4 (the no-fallback path matches)."
-    ),
-    strict=False,
-)
 @pytest.mark.skipif(not os.path.isdir(SIMPLE_DIR), reason="reference corpus absent")
 def test_exclude_tables_scam():
     with open(os.path.join(SIMPLE_DIR, "scam.html"), "rb") as f:
