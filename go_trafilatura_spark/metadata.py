@@ -811,14 +811,24 @@ def extract_license(doc: Element) -> str:
 # Publish date (fast-mode subset of go-htmldate; metadata.go:184-220)
 # ---------------------------------------------------------------------------
 
-_DATE_META_KEYS = frozenset((
+# Published/original date keys vs modified/updated keys: go-htmldate runs
+# with UseOriginalDate=true (reference metadata.go:98-99), so published
+# sources win and modified ones are only a reserve.
+_DATE_META_PUBLISHED = frozenset((
     "article:published_time", "article:published", "og:article:published_time",
     "og:published_time", "rnews:datepublished", "datecreated",
     "article.published", "datepublished", "date_published", "published-date",
     "published_time", "publishdate", "pubdate", "publication_date",
     "date", "dc.date", "dc.date.issued", "dc.date.created", "dcterms.date",
     "dcterms.created", "dcterms.issued", "sailthru.date", "parsely-pub-date",
-    "citation_publication_date", "article:modified_time", "og:updated_time",
+    "citation_publication_date", "citation_date", "article_date_original",
+    "originalpublicationdate", "datefirstpublished", "article.created",
+    "published", "release_date", "publication-date", "cxenseparse:recs:publishtime",
+))
+_DATE_META_MODIFIED = frozenset((
+    "article:modified_time", "og:updated_time", "updated_time", "lastmod",
+    "last-modified", "datemodified", "dc.date.modified", "dcterms.modified",
+    "revised", "lastdate", "last-published", "modified_time",
 ))
 
 _RX_ISO_DATE = stdlib_re.compile(r"(\d{4})-(\d{2})-(\d{2})")
@@ -826,6 +836,11 @@ _RX_URL_DATE = stdlib_re.compile(r"/(\d{4})/(\d{1,2})/(\d{1,2})(?:/|$)")
 _RX_DMY_DATE = stdlib_re.compile(r"\b(\d{1,2})\.(\d{1,2})\.(\d{4})\b")
 _RX_MDY_DATE = stdlib_re.compile(r"\b(\d{1,2})/(\d{1,2})/(\d{4})\b")
 _RX_DMY2_DATE = stdlib_re.compile(r"\b(\d{1,2})\.(\d{1,2})\.(\d{2})\b")
+# CJK: 2019年6月24日
+_RX_CJK_DATE = stdlib_re.compile(r"(\d{4})年(\d{1,2})月(\d{1,2})日")
+# Compact 20190624 (extensive frequency scan only — IDs are protected by
+# the word boundaries and the frequency vote)
+_RX_COMPACT_DATE = stdlib_re.compile(r"\b(20\d{2})(0[1-9]|1[0-2])([0-2]\d|3[01])\b")
 
 _MONTHS = {
     # en
@@ -835,21 +850,34 @@ _MONTHS = {
     "jan": 1, "feb": 2, "mar": 3, "apr": 4, "jun": 6, "jul": 7, "aug": 8,
     "sep": 9, "sept": 9, "oct": 10, "nov": 11, "dec": 12,
     # de
-    "januar": 1, "februar": 2, "märz": 3, "mai": 5, "juni": 6, "juli": 7,
-    "oktober": 10, "dezember": 12, "okt": 10, "dez": 12,
+    "januar": 1, "jänner": 1, "februar": 2, "märz": 3, "mai": 5, "juni": 6,
+    "juli": 7, "oktober": 10, "dezember": 12, "okt": 10, "dez": 12,
     # fr
     "janvier": 1, "février": 2, "mars": 3, "avril": 4, "juin": 6,
     "juillet": 7, "août": 8, "septembre": 9, "octobre": 10,
     "novembre": 11, "décembre": 12,
+    # it
+    "gennaio": 1, "febbraio": 2, "marzo": 3, "aprile": 4, "maggio": 5,
+    "giugno": 6, "luglio": 7, "agosto": 8, "settembre": 9, "ottobre": 10,
+    "dicembre": 12,
+    # es/pt
+    "enero": 1, "febrero": 2, "abril": 4, "mayo": 5, "junio": 6,
+    "julio": 7, "septiembre": 9, "octubre": 10, "noviembre": 11,
+    "diciembre": 12, "janeiro": 1, "fevereiro": 2, "março": 3, "maio": 5,
+    "junho": 6, "julho": 7, "setembro": 9, "outubro": 10, "novembro": 11,
+    "dezembro": 12,
+    # nl
+    "januari": 1, "februari": 2, "maart": 3, "mei": 5, "augustus": 8,
 }
 _MONTH_ALT = "|".join(sorted(_MONTHS, key=len, reverse=True))
 # "January 20, 2020" / "Jan 20 2020"
 _RX_MDY_NAME = stdlib_re.compile(
     rf"(?i)\b({_MONTH_ALT})\.?\s+(\d{{1,2}})(?:st|nd|rd|th)?,?\s+(\d{{4}})\b"
 )
-# "20. Januar 2020" / "20 janvier 2020"
+# "20. Januar 2020" / "20 janvier 2020" / "14 de enero de 2020"
 _RX_DMY_NAME = stdlib_re.compile(
-    rf"(?i)\b(\d{{1,2}})(?:st|nd|rd|th)?\.?\s+({_MONTH_ALT})\.?\s+(\d{{4}})\b"
+    rf"(?i)\b(\d{{1,2}})(?:st|nd|rd|th)?\.?\s+(?:de\s+|del\s+|di\s+)?({_MONTH_ALT})\.?"
+    rf"(?:\s+de)?\s+(\d{{4}})\b"
 )
 
 
@@ -871,37 +899,108 @@ def _parse_date_string(s: str) -> str:
         return _valid_date(int(m.group(3)), int(m.group(2)), int(m.group(1)))
     m = _RX_MDY_DATE.search(s)
     if m:
-        return _valid_date(int(m.group(3)), int(m.group(1)), int(m.group(2)))
+        a, b = int(m.group(1)), int(m.group(2))
+        if a > 12 and b <= 12:
+            # 14/01/2020 can only be day-first
+            return _valid_date(int(m.group(3)), b, a)
+        return _valid_date(int(m.group(3)), a, b)
     m = _RX_MDY_NAME.search(s)
     if m:
         return _valid_date(int(m.group(3)), _MONTHS[m.group(1).lower()], int(m.group(2)))
     m = _RX_DMY_NAME.search(s)
     if m:
         return _valid_date(int(m.group(3)), _MONTHS[m.group(2).lower()], int(m.group(1)))
+    m = _RX_CJK_DATE.search(s)
+    if m:
+        return _valid_date(int(m.group(1)), int(m.group(2)), int(m.group(3)))
     m = _RX_DMY2_DATE.search(s)
     if m:
         return _valid_date(2000 + int(m.group(3)), int(m.group(2)), int(m.group(1)))
     return ""
 
 
-def extract_date_fast(doc: Element, url: str) -> str:
-    """Fast-mode publish date: meta tags → <time> → JSON-LD → URL path.
-    A deliberate subset of go-htmldate (see metadata.go:184-220)."""
-    # 1. meta tags
-    for node in etree.get_elements_by_tag(doc, "meta"):
-        key = (node.get("property") or node.get("name") or node.get("itemprop")).lower()
-        if key in _DATE_META_KEYS:
-            date = _parse_date_string(node.get("content"))
+# Containers whose id/class signals a visible publication date
+# (htmldate's DATE_EXPRESSIONS selector family, compacted).
+_RX_DATE_CLASS = stdlib_re.compile(
+    r"(?i)\b(date|datum|time|timestamp|post-?meta|byline|published|"
+    r"posted-?on|entry-?meta|dateline|submitted|created)\b"
+)
+
+
+def _scan_all_dates(text: str) -> list[str]:
+    """All plausible dates in a text blob (document order)."""
+    out = []
+    for rx, order in (
+        (_RX_ISO_DATE, (1, 2, 3)),
+        (_RX_DMY_DATE, (3, 2, 1)),
+        (_RX_MDY_NAME, None),
+        (_RX_DMY_NAME, None),
+        (_RX_MDY_DATE, (3, 1, 2)),
+        (_RX_CJK_DATE, (1, 2, 3)),
+        (_RX_COMPACT_DATE, (1, 2, 3)),
+    ):
+        for m in rx.finditer(text):
+            if rx is _RX_MDY_NAME:
+                d = _valid_date(int(m.group(3)), _MONTHS[m.group(1).lower()], int(m.group(2)))
+            elif rx is _RX_DMY_NAME:
+                d = _valid_date(int(m.group(3)), _MONTHS[m.group(2).lower()], int(m.group(1)))
+            else:
+                y, mo, dd = (int(m.group(i)) for i in order)
+                if rx is _RX_MDY_DATE and mo > 12 and dd <= 12:
+                    mo, dd = dd, mo
+                d = _valid_date(y, mo, dd)
+            if d:
+                out.append(d)
+    return out
+
+
+def extract_date_fast(doc: Element, url: str, extensive: bool = False) -> str:
+    """htmldate-style publish-date cascade with original-date preference
+    (go-htmldate runs with UseOriginalDate=true — metadata.go:98):
+    url full date → published meta → time/abbr elements → JSON-LD →
+    date-classed containers → modified-date reserve → (extensive only)
+    full-document scan choosing the most frequent, earliest candidate."""
+    reserve = ""
+
+    # 1. URL pattern /YYYY/MM/DD/ — a complete url date names the post's
+    # publication slot; measured on the comparison corpus it beats even
+    # published meta tags (which CMSes rewrite on edits).
+    if url:
+        m = _RX_URL_DATE.search(url)
+        if m:
+            date = _valid_date(int(m.group(1)), int(m.group(2)), int(m.group(3)))
             if date:
                 return date
 
-    # 2. <time> elements
-    for node in etree.get_elements_by_tag(doc, "time"):
+    # 2. meta tags — published keys decide; modified keys are a reserve
+    for node in etree.get_elements_by_tag(doc, "meta"):
+        key = (node.get("property") or node.get("name") or node.get("itemprop")).lower()
+        if key in _DATE_META_PUBLISHED:
+            date = _parse_date_string(node.get("content"))
+            if date:
+                return date
+        elif not reserve and key in _DATE_META_MODIFIED:
+            reserve = _parse_date_string(node.get("content"))
+
+    # 3. <time> and <abbr> elements (published markers first)
+    time_nodes = etree.get_elements_by_tag(doc, "time")
+    for node in time_nodes:
+        itemprop = node.get("itemprop").lower()
+        if itemprop in ("datepublished", "datecreated") or node.get("pubdate"):
+            date = _parse_date_string(node.get("datetime") or etree.text_content(node))
+            if date:
+                return date
+    for node in time_nodes:
         date = _parse_date_string(node.get("datetime") or etree.text_content(node))
         if date:
             return date
+    for node in etree.get_elements_by_tag(doc, "abbr"):
+        if _RX_DATE_CLASS.search(node.get("class")):
+            date = _parse_date_string(node.get("title") or etree.text_content(node))
+            if date:
+                return date
 
-    # 3. JSON-LD datePublished / dateCreated
+    # 4. JSON-LD datePublished / dateCreated (dateModified as reserve)
     for script in css.query_all(doc, _JSONLD_SELECTORS):
         text = etree.text_content(script)
         m = stdlib_re.search(
@@ -911,23 +1010,65 @@ def extract_date_fast(doc: Element, url: str) -> str:
             date = _parse_date_string(m.group(1))
             if date:
                 return date
+        if not reserve:
+            m = stdlib_re.search(r'"dateModified"\s*:\s*"([^"]+)"', text)
+            if m:
+                reserve = _parse_date_string(m.group(1))
 
-    # 4. URL pattern /YYYY/MM/DD/
-    if url:
-        m = _RX_URL_DATE.search(url)
-        if m:
-            date = _valid_date(int(m.group(1)), int(m.group(2)), int(m.group(3)))
-            if date:
-                return date
-
-    # 5. Visible-text scan (bounded) — htmldate fast mode scans the
-    # document body for numeric date patterns.
+    # 5. Date-classed visible containers (htmldate DATE_EXPRESSIONS)
     body = etree.body_of(doc)
+    if body is not None:
+        for node in etree.iter_descendants(body):
+            if node.tag in ("script", "style"):
+                continue
+            if _RX_DATE_CLASS.search(node.get("class") + " " + node.get("id")):
+                blob = trim(etree.text_content(node))[:512]
+                date = _parse_date_string(blob)
+                if date:
+                    return date
+
+    # 6. Modified-date reserve
+    if reserve:
+        return reserve
+
+    # 7. Bounded visible-text scan (first match in body — htmldate's
+    # search_page fast behaviour).
     if body is not None:
         text = etree.text_content(body)[:50000]
         date = _parse_date_string(text)
         if date:
             return date
+
+    if extensive:
+        # 8. Description/title meta content (visible-date phrasing like
+        # "Notizia del 14 Gennaio 2020" often survives only there).
+        for node in etree.get_elements_by_tag(doc, "meta"):
+            key = (node.get("property") or node.get("name")).lower()
+            if key in ("description", "og:description", "og:title", "twitter:description"):
+                date = _parse_date_string(node.get("content"))
+                if date:
+                    return date
+        # 9. Embedded-JSON keys anywhere in the document (JS-rendered
+        # pages carry published_at/datePublished in script state).
+        whole = etree.text_content(doc)[:400000]
+        m = stdlib_re.search(
+            r'(?i)"(?:published_at|datePublished|publishedDate|datePosted|'
+            r'published_time|pubdate|publishdate)"\s*:\s*"([^"]+)"',
+            whole,
+        )
+        if m:
+            date = _parse_date_string(m.group(1))
+            if date:
+                return date
+        # 9. Whole-document frequency pick, earliest on ties
+        # (original-date preference).
+        found = _scan_all_dates(whole)
+        if found:
+            from collections import Counter
+
+            counts = Counter(found)
+            top_n = max(counts.values())
+            return sorted(d for d, n in counts.items() if n == top_n)[0]
 
     return ""
 
@@ -974,7 +1115,13 @@ def extract_metadata(doc: Element, options) -> Metadata:
             metadata.image = ""
 
     if options.date_mode != "disabled":
-        metadata.date = extract_date_fast(doc, metadata.url)
+        # Default mode follows the reference (metadata.go:195-200):
+        # extensive when fallback is enabled, fast otherwise.
+        extensive = (
+            options.date_mode == "extensive"
+            or (options.date_mode == "default" and getattr(options, "enable_fallback", False))
+        )
+        metadata.date = extract_date_fast(doc, metadata.url, extensive=extensive)
 
     if metadata.sitename == "":
         metadata.sitename = extract_dom_sitename(doc)

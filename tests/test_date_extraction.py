@@ -1,0 +1,107 @@
+"""Publish-date cascade (htmldate-style; reference metadata.go:184-220
+delegates to go-htmldate with UseOriginalDate=true)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from go_trafilatura_spark import etree
+from go_trafilatura_spark.metadata import _parse_date_string, extract_date_fast
+
+
+def doc(html):
+    return etree.parse_html(html)
+
+
+def test_parse_iso():
+    assert _parse_date_string("2020-01-02T08:00:00Z") == "2020-01-02"
+
+
+def test_parse_dmy_dots():
+    assert _parse_date_string("Veröffentlicht am 3.2.2019") == "2019-02-03"
+
+
+def test_parse_dmy_slash_disambiguated():
+    assert _parse_date_string("14/01/2020") == "2020-01-14"
+    assert _parse_date_string("01/14/2020") == "2020-01-14"
+
+
+def test_parse_month_names():
+    assert _parse_date_string("January 20, 2020") == "2020-01-20"
+    assert _parse_date_string("20. Januar 2020") == "2020-01-20"
+    assert _parse_date_string("20 janvier 2020") == "2020-01-20"
+    assert _parse_date_string("Notizia del 14 Gennaio 2020") == "2020-01-14"
+    assert _parse_date_string("14 de enero 2020") == "2020-01-14"
+
+
+def test_parse_cjk():
+    assert _parse_date_string("2019年6月24日") == "2019-06-24"
+
+
+def test_url_full_date_wins():
+    d = doc('<html><head><meta property="article:published_time" content="2022-03-04"/></head><body></body></html>')
+    got = extract_date_fast(d, "https://x.example/2014/05/18/post/")
+    assert got == "2014-05-18"
+
+
+def test_published_meta_beats_modified():
+    d = doc(
+        '<html><head>'
+        '<meta property="article:modified_time" content="2020-02-12"/>'
+        '<meta property="article:published_time" content="2020-02-05"/>'
+        "</head><body></body></html>"
+    )
+    assert extract_date_fast(d, "https://x.example/post") == "2020-02-05"
+
+
+def test_modified_is_reserve():
+    d = doc(
+        '<html><head><meta property="article:modified_time" content="2020-02-12"/>'
+        "</head><body><p>no other date here</p></body></html>"
+    )
+    assert extract_date_fast(d, "https://x.example/post") == "2020-02-12"
+
+
+def test_time_element():
+    d = doc('<html><body><time datetime="2019-08-16">16. August 2019</time></body></html>')
+    assert extract_date_fast(d, "") == "2019-08-16"
+
+
+def test_jsonld_date_published():
+    d = doc(
+        '<html><head><script type="application/ld+json">'
+        '{"@type":"NewsArticle","datePublished":"2019-12-10T06:00:00+01:00"}'
+        "</script></head><body></body></html>"
+    )
+    assert extract_date_fast(d, "") == "2019-12-10"
+
+
+def test_date_classed_container():
+    d = doc('<html><body><span class="post-meta">Posted on 22. Mai 2016</span><p>x</p></body></html>')
+    assert extract_date_fast(d, "") == "2016-05-22"
+
+
+def test_extensive_embedded_json():
+    # JSON state in a HEAD script is only reached by the extensive
+    # whole-document scan; the fast body scan never sees it.
+    d = doc(
+        '<html><head><script>var s = {"published_at":"2019-03-02T06:22:28+01:00"};</script>'
+        "</head><body><p>content</p></body></html>"
+    )
+    assert extract_date_fast(d, "", extensive=False) == ""
+    assert extract_date_fast(d, "", extensive=True) == "2019-03-02"
+
+
+def test_extensive_frequency_vote():
+    d = doc(
+        "<html><body><p>footer 2008-11-20</p>"
+        "<script>a=['2015-04-05','2015-04-05','2015-04-05']</script></body></html>"
+    )
+    # body first-match wins in both modes when the body carries a date
+    assert extract_date_fast(d, "", extensive=True) == "2008-11-20"
+
+
+def test_invalid_dates_rejected():
+    assert _parse_date_string("1794-07-28") == ""
+    assert _parse_date_string("2055-13-40") == ""
