@@ -169,9 +169,9 @@ def q_ann_lsh(spark, sf_dir):
 
 
 def q_embedding_neardup(spark, sf_dir):
-    # The synthetic embeddings are near-orthogonal (max same-label cosine
-    # ≈ 0.47), so the "near-duplicate" threshold is scaled to the data to
-    # keep the check non-vacuous.
+    # The synthetic embeddings are near-orthogonal (max cosine ≈ 0.47),
+    # so the "near-duplicate" threshold is scaled to the data to keep the
+    # check non-vacuous (19 pairs at sf0.01 under band-LSH blocking).
     return textops.embedding_neardup_pairs(_emb(spark, sf_dir), threshold=0.40)
 
 
@@ -276,21 +276,17 @@ def q_corpus_dedup(spark, sf_dir):
 
 
 def q_host_stats(spark, sf_dir):
-    """Relational demo over the fixture pages: per-host doc counts and
-    html size stats (host skew visibility — the salting rationale)."""
+    """Per-host doc counts and html size stats, computed through the
+    skew-safe two-stage salted aggregation (groupBy(host, salt) partial
+    → groupBy(host) final, pipeline.salted_host_agg) — the Zipf host
+    distribution in the fixtures is exactly the hot-key shape it
+    defeats. The oracle is the plain one-stage groupBy: identical
+    results attest that salting preserves the aggregation."""
+    from go_trafilatura_spark.pipeline import salted_host_agg
+
     _ensure_fixtures()
     pages = spark.read.parquet(PAGES_PARQUET)
-    return (
-        pages.select(
-            F.regexp_extract("url", "https://([^/]+)/", 1).alias("host"),
-            F.length("html").cast("bigint").alias("html_len"),
-        )
-        .groupBy("host")
-        .agg(
-            F.count("*").alias("n_pages"),
-            F.sum("html_len").alias("total_bytes"),
-        )
-    )
+    return salted_host_agg(pages)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -391,7 +387,10 @@ def _sql_lang_id() -> str:
     )
 
 
-def _sql_jaccard(threshold: float = 0.2) -> str:
+def _sql_jaccard(threshold: float = 0.2, max_df: int = 500) -> str:
+    # Same df-capped semantics as textops.ngram_jaccard_pairs: shingles
+    # with document frequency > max_df never enter the pair join; set
+    # sizes use the full shingle sets.
     return f"""
 WITH toks AS (
   SELECT doc_id, {_TOKENS} AS tokens FROM documents
@@ -401,9 +400,13 @@ WITH toks AS (
   FROM toks
 ), sizes AS (
   SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id
+), rare AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= {max_df}
+), sh_kept AS (
+  SELECT sh.doc_id, sh.shingle FROM sh JOIN rare USING (shingle)
 ), inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-  FROM sh a JOIN sh b USING (shingle)
+  FROM sh_kept a JOIN sh_kept b USING (shingle)
   WHERE a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
@@ -591,10 +594,25 @@ WHERE b.bucket = q.qbucket AND b.vec_id <> 0
 ORDER BY cosine DESC, b.vec_id ASC
 LIMIT 5""",
         "embedding_neardup": """
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS cosine
-FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.40""",
+WITH b AS (
+  SELECT vec_id, embedding,
+    (CASE WHEN embedding[1]>0 THEN 1 ELSE 0 END) + (CASE WHEN embedding[2]>0 THEN 2 ELSE 0 END)
+    + (CASE WHEN embedding[3]>0 THEN 4 ELSE 0 END) + (CASE WHEN embedding[4]>0 THEN 8 ELSE 0 END) AS band0,
+    (CASE WHEN embedding[5]>0 THEN 1 ELSE 0 END) + (CASE WHEN embedding[6]>0 THEN 2 ELSE 0 END)
+    + (CASE WHEN embedding[7]>0 THEN 4 ELSE 0 END) + (CASE WHEN embedding[8]>0 THEN 8 ELSE 0 END) AS band1
+  FROM embeddings
+), cand AS (
+  SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b
+  FROM b a JOIN b b2 ON a.band0 = b2.band0 AND a.vec_id < b2.vec_id
+  UNION
+  SELECT a.vec_id, b2.vec_id FROM b a JOIN b b2 ON a.band1 = b2.band1 AND a.vec_id < b2.vec_id
+)
+SELECT c.vec_a, c.vec_b,
+       round(list_cosine_similarity(e1.embedding, e2.embedding), 4) AS cosine
+FROM cand c
+JOIN embeddings e1 ON e1.vec_id = c.vec_a
+JOIN embeddings e2 ON e2.vec_id = c.vec_b
+WHERE round(list_cosine_similarity(e1.embedding, e2.embedding), 4) >= 0.40""",
         "events_windowed": """
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
        event_type,

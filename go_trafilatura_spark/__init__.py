@@ -2,14 +2,14 @@
 
 A from-scratch reimplementation of the capabilities of
 markusmobius/go-trafilatura (reference at /root/reference, read-only) as
-a Spark-first pipeline: a vectorized Arrow kernel (mapInPandas) runs the
+a Spark-first pipeline: a vectorized Arrow kernel (mapInArrow) runs the
 per-document extraction cascade; everything corpus-level (dedup, joins,
 aggregation, skew-safe partitioning) is DataFrame/Catalyst work.
 
 Layout:
   etree/css/selectors/settings/utils  — document model + rule lists
   htmlprocessing/main_extractor/baseline/metadata/external/core — cascade
-  kernel    — Arrow-vectorized Spark kernel (mapInPandas)
+  kernel    — Arrow-vectorized Spark kernel (mapInArrow)
   pipeline  — DataFrame pipeline: scan → salted repartition → kernel → sink
   textops   — corpus-level training-data ops (dedup, lang-ID, quality, ANN)
   fixtures  — deterministic synthetic page/golden generator

@@ -179,7 +179,7 @@ def make_kernel(kernel_options: KernelOptions | None = None):
 
         import pandas as pd
 
-        for pdf in batches:
+        for batch_id, pdf in enumerate(batches):
             t0 = time.monotonic()
             urls = pdf["url"].tolist()
             htmls = pdf["html"].tolist()
@@ -195,11 +195,87 @@ def make_kernel(kernel_options: KernelOptions | None = None):
             out = pd.DataFrame(dict(zip(OUTPUT_COLUMNS, col_lists)), columns=OUTPUT_COLUMNS)
             if ko.with_timing:
                 out["kernel_ms"] = (time.monotonic() - t0) * 1000.0
+                out["batch_id"] = batch_id
             yield out
 
     return extract_batches
 
 
 TIMED_OUTPUT_SCHEMA = StructType(
-    OUTPUT_SCHEMA.fields + [StructField("kernel_ms", DoubleType())]
+    OUTPUT_SCHEMA.fields
+    + [StructField("kernel_ms", DoubleType()), StructField("batch_id", IntegerType())]
 )
+
+
+def _arrow_output_types():
+    """pyarrow types for OUTPUT_COLUMNS (mapInArrow fast path)."""
+    import pyarrow as pa
+
+    span = pa.struct([
+        pa.field("start", pa.int32()),
+        pa.field("end", pa.int32()),
+        pa.field("kind", pa.string()),
+    ])
+    s = pa.string()
+    return {
+        "url": s, "lang": s, "content_text": s, "comments_text": s,
+        "content_html": s, "comments_html": s, "title": s, "author": s,
+        "meta_url": s, "hostname": s, "description": s, "sitename": s,
+        "date": s, "categories": pa.list_(s), "tags": pa.list_(s),
+        "license": s, "language": s, "image": s, "page_type": s,
+        "reject_reason": s, "content_spans": pa.list_(span),
+    }
+
+
+def make_arrow_kernel(kernel_options: KernelOptions | None = None):
+    """mapInArrow kernel: consumes/produces pyarrow RecordBatches
+    directly, skipping the pandas DataFrame assembly on both sides
+    (~2× less transport overhead than the mapInPandas path; NOTES.md
+    queue #1). Pass-through columns (url, warc_ts, lang) reuse the
+    input Arrow arrays untouched — zero conversion."""
+    ko = kernel_options or KernelOptions()
+
+    def extract_batches(batches):
+        import time
+
+        import pyarrow as pa
+
+        types = _arrow_output_types()
+        for batch_id, batch in enumerate(batches):
+            t0 = time.monotonic()
+            names = batch.schema.names
+            urls = batch.column(names.index("url")).to_pylist()
+            htmls = batch.column(names.index("html")).to_pylist()
+            n = len(urls)
+            # Kernel-computed columns (url/warc_ts/lang pass through).
+            computed = [c for c in OUTPUT_COLUMNS if c not in ("url", "warc_ts", "lang")]
+            col_lists: dict[str, list] = {c: [] for c in computed}
+            for u, h in zip(urls, htmls):
+                row = _extract_row(u, None, h, None, ko)
+                for c, value in zip(OUTPUT_COLUMNS[3:], row[3:]):
+                    col_lists[c].append(value)
+
+            arrays = []
+            fields = []
+            for c in OUTPUT_COLUMNS:
+                if c == "url":
+                    arr = batch.column(names.index("url"))
+                elif c == "warc_ts":
+                    arr = batch.column(names.index("warc_ts")) if "warc_ts" in names \
+                        else pa.nulls(n, pa.timestamp("us", tz="UTC"))
+                elif c == "lang":
+                    arr = batch.column(names.index("lang")) if "lang" in names \
+                        else pa.nulls(n, pa.string())
+                else:
+                    arr = pa.array(col_lists[c], type=types[c])
+                arrays.append(arr)
+                fields.append(pa.field(c, arr.type))
+            if ko.with_timing:
+                ms = (time.monotonic() - t0) * 1000.0
+                arrays.append(pa.array([ms] * n, pa.float64()))
+                fields.append(pa.field("kernel_ms", pa.float64()))
+                arrays.append(pa.array([batch_id] * n, pa.int32()))
+                fields.append(pa.field("batch_id", pa.int32()))
+            yield pa.RecordBatch.from_arrays(arrays, schema=pa.schema(fields))
+
+    return extract_batches

@@ -132,19 +132,33 @@ class Metadata:
 
 
 def title_case(s: str) -> str:
-    """Approximation of x/text cases.Title(language.English): capitalize
-    the first letter of every word (UAX#29-ish: apostrophes inside words
-    don't split), lowercase the rest."""
+    """x/text cases.Title(language.English) semantics (UAX#29 word
+    segmentation): titlecase the first cased character of each word,
+    lowercase the rest. Mid-word joiners — apostrophes (MidLetter),
+    '.' (MidNumLet), '_' (ExtendNumLet) — continue a word only when
+    surrounded by alphanumerics, so "u.s. army" → "U.s. Army" and
+    "don't" → "Don't"; hyphens break words ("jean-pierre" →
+    "Jean-Pierre"); digits don't consume the titlecase slot
+    ("3rd" → "3Rd"). Verified against the Go library's published
+    behavior (reference metadata.go:234,737)."""
     out = []
     new_word = True
-    for ch in s:
+    n = len(s)
+    for i, ch in enumerate(s):
         if ch.isalpha():
             out.append(ch.upper() if new_word else ch.lower())
             new_word = False
+        elif ch.isdigit():
+            # part of the word; the first cased LETTER still titlecases
+            out.append(ch)
         else:
-            if ch in "'’" and not new_word:
-                pass  # mid-word apostrophe keeps the word going
-            else:
+            joiner = (
+                ch in "'’._"
+                and 0 < i < n - 1
+                and s[i - 1].isalnum()
+                and s[i + 1].isalnum()
+            )
+            if not joiner:
                 new_word = True
             out.append(ch)
     return "".join(out)
@@ -887,9 +901,14 @@ def _valid_date(y: int, m: int, d: int) -> str:
     return ""
 
 
+_RX_YEAR_QUICK = stdlib_re.compile(r"(?:19|20)\d{2}")
+
+
 def _parse_date_string(s: str) -> str:
     s = trim(s)
-    if not s:
+    # Every supported pattern needs digits; the expensive month-name
+    # alternations additionally need a plausible year nearby.
+    if not s or not any(ch.isdigit() for ch in s):
         return ""
     m = _RX_ISO_DATE.search(s)
     if m:
@@ -904,12 +923,13 @@ def _parse_date_string(s: str) -> str:
             # 14/01/2020 can only be day-first
             return _valid_date(int(m.group(3)), b, a)
         return _valid_date(int(m.group(3)), a, b)
-    m = _RX_MDY_NAME.search(s)
-    if m:
-        return _valid_date(int(m.group(3)), _MONTHS[m.group(1).lower()], int(m.group(2)))
-    m = _RX_DMY_NAME.search(s)
-    if m:
-        return _valid_date(int(m.group(3)), _MONTHS[m.group(2).lower()], int(m.group(1)))
+    if _RX_YEAR_QUICK.search(s):
+        m = _RX_MDY_NAME.search(s)
+        if m:
+            return _valid_date(int(m.group(3)), _MONTHS[m.group(1).lower()], int(m.group(2)))
+        m = _RX_DMY_NAME.search(s)
+        if m:
+            return _valid_date(int(m.group(3)), _MONTHS[m.group(2).lower()], int(m.group(1)))
     m = _RX_CJK_DATE.search(s)
     if m:
         return _valid_date(int(m.group(1)), int(m.group(2)), int(m.group(3)))
@@ -1015,17 +1035,25 @@ def extract_date_fast(doc: Element, url: str, extensive: bool = False) -> str:
             if m:
                 reserve = _parse_date_string(m.group(1))
 
-    # 5. Date-classed visible containers (htmldate DATE_EXPRESSIONS)
+    # 5. Date-classed visible containers (htmldate DATE_EXPRESSIONS).
+    # Attribute-less nodes are skipped on the fast path and the scan is
+    # bounded — date markers live near the top of real pages.
     body = etree.body_of(doc)
     if body is not None:
+        scanned = 0
         for node in etree.iter_descendants(body):
-            if node.tag in ("script", "style"):
+            attrib = node.attrib
+            if not attrib or node.tag in ("script", "style"):
                 continue
-            if _RX_DATE_CLASS.search(node.get("class") + " " + node.get("id")):
+            idclass = attrib.get("class", "") + " " + attrib.get("id", "")
+            if len(idclass) > 1 and _RX_DATE_CLASS.search(idclass):
                 blob = trim(etree.text_content(node))[:512]
                 date = _parse_date_string(blob)
                 if date:
                     return date
+                scanned += 1
+                if scanned >= 200:
+                    break
 
     # 6. Modified-date reserve
     if reserve:

@@ -70,24 +70,54 @@ def read_pages(spark: SparkSession, path: str) -> DataFrame:
 
 
 def salted_repartition(df: DataFrame, num_partitions: int | None = None) -> DataFrame:
-    """Explicit skew-safe shuffle: url-hash with per-row salt so that a
-    heavy host (many urls hashing near each other after a host-prefix
-    pattern) still spreads over SALT_BUCKETS partitions."""
+    """Explicit shuffle on xxhash64(url). Urls are unique per row, so the
+    hash is already uniform across partitions regardless of host skew —
+    per-row keys need no extra salt (a derived "salt" that is a function
+    of the url would distribute identically). Salting matters when the
+    KEY is hot, i.e. host-level aggregations — see salted_host_agg."""
     n = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    salt = (F.xxhash64(F.col("url")) % SALT_BUCKETS).cast("int")
-    return df.repartition(int(n), F.xxhash64(F.col("url"), salt))
+    return df.repartition(int(n), F.xxhash64(F.col("url")))
+
+
+def salted_host_agg(pages: DataFrame, agg_exprs: list | None = None,
+                    salt_buckets: int = SALT_BUCKETS) -> DataFrame:
+    """Skew-safe per-host aggregation: the host key IS hot (Zipf hosts —
+    one host can be 10% of a crawl), so aggregate in two stages:
+    groupBy(host, salt) partial → groupBy(host) final. The salt is
+    derived from the url (uniform within a host, deterministic on
+    retries), so a giant host spreads over ``salt_buckets`` reducers in
+    stage one and the final shuffle carries ≤ salt_buckets rows per
+    host. This is the real skew story behind the north rule's
+    "repartitioning by url-hash salted against skewed hosts"."""
+    host = F.regexp_extract("url", "https://([^/]+)/", 1).alias("host")
+    salt = F.pmod(F.xxhash64("url"), F.lit(salt_buckets)).cast("int").alias("salt")
+    partial = (
+        pages.select(host, salt, F.length("html").cast("bigint").alias("html_len"))
+        .groupBy("host", "salt")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.sum("html_len").alias("total_bytes"),
+        )
+    )
+    return partial.groupBy("host").agg(
+        F.sum("n_pages").alias("n_pages"),
+        F.sum("total_bytes").alias("total_bytes"),
+    )
 
 
 def partition_time_stats(timed_df: DataFrame) -> DataFrame:
     """Skew observability (SURVEY.md §7.4.8): per-partition kernel time
-    distribution from extract_pages_timed — p50/p99/max show whether
-    salting kept partitions uniform. kernel_ms is constant per Arrow
-    batch, so per-partition time = sum of distinct batch times."""
-    per_part = (
+    distribution from extract_pages_timed — p50/p99/max show whether the
+    url-hash shuffle kept partitions uniform. kernel_ms is constant per
+    Arrow batch and batches are tagged with batch_id, so per-partition
+    time = sum over (pid, batch_id) of one batch time each (two batches
+    that happen to take identical wall time are no longer collapsed)."""
+    per_batch = (
         timed_df.withColumn("pid", F.spark_partition_id())
-        .groupBy("pid")
-        .agg(F.sum_distinct("kernel_ms").alias("partition_ms"))
+        .groupBy("pid", "batch_id")
+        .agg(F.first("kernel_ms").alias("batch_ms"))
     )
+    per_part = per_batch.groupBy("pid").agg(F.sum("batch_ms").alias("partition_ms"))
     return per_part.agg(
         F.count("*").alias("partitions"),
         F.round(F.percentile_approx("partition_ms", 0.5), 1).alias("p50_ms"),
@@ -105,10 +135,12 @@ def extract_pages_timed(
     via partition_time_stats."""
     from .kernel import TIMED_OUTPUT_SCHEMA
 
+    from .kernel import make_arrow_kernel
+
     cols = [c for c in ("url", "warc_ts", "html", "lang") if c in df.columns]
     pruned = salted_repartition(df.select(*cols), num_partitions)
-    kernel = make_kernel(KernelOptions(options or {}, with_timing=True))
-    return pruned.mapInPandas(kernel, TIMED_OUTPUT_SCHEMA)
+    kernel = make_arrow_kernel(KernelOptions(options or {}, with_timing=True))
+    return pruned.mapInArrow(kernel, TIMED_OUTPUT_SCHEMA)
 
 
 def extract_pages(
@@ -125,14 +157,16 @@ def extract_pages(
     the parquet scan (the input `lang` column), mirroring the
     reference's language gate short-circuit (SURVEY.md §2.2).
     """
+    from .kernel import make_arrow_kernel
+
     cols = [c for c in ("url", "warc_ts", "html", "lang") if c in df.columns]
     pruned = df.select(*cols)
     if lang_filter:
         pruned = pruned.where(F.col("lang") == lang_filter)
     if repartition:
         pruned = salted_repartition(pruned, num_partitions)
-    kernel = make_kernel(KernelOptions(options or {}))
-    return pruned.mapInPandas(kernel, OUTPUT_SCHEMA)
+    kernel = make_arrow_kernel(KernelOptions(options or {}))
+    return pruned.mapInArrow(kernel, OUTPUT_SCHEMA)
 
 
 def extracted_ok(df: DataFrame) -> DataFrame:
@@ -195,13 +229,15 @@ def extract_pages_resumable(
     )
     result.write.mode("append").partitionBy("bucket").parquet(output_path)
 
-    # Commit manifest rows for the buckets that just completed
-    out = spark.read.parquet(output_path)
-    counts = out.groupBy("bucket").agg(F.count("*").alias("row_count"))
-    new_manifest = counts.where(
-        ~F.col("bucket").isin(sorted(done_buckets)) if done_buckets else F.lit(True)
-    )
-    new_manifest.withColumn("input_path", F.lit(input_path)).write.mode(
+    # Commit manifest rows for the buckets that just completed. The
+    # readback is partition-pruned to ONLY the new buckets (bucket is
+    # the partition column), so a resume never rescans previously
+    # committed output — at 100 TB of output the extra read is bounded
+    # by this run's increment.
+    todo_buckets = sorted(set(range(num_partitions)) - done_buckets)
+    out_new = spark.read.parquet(output_path).where(F.col("bucket").isin(todo_buckets))
+    counts = out_new.groupBy("bucket").agg(F.count("*").alias("row_count"))
+    counts.withColumn("input_path", F.lit(input_path)).write.mode(
         "append"
     ).parquet(mpath)
 

@@ -181,19 +181,34 @@ def simhash(df: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
 
 # -- n-gram Jaccard ----------------------------------------------------------
 
-def ngram_jaccard_pairs(df: DataFrame, k_shingle: int = 3, threshold: float = 0.2) -> DataFrame:
-    """Exact Jaccard over k-token shingle sets for candidate pairs that
-    share at least one shingle (inverted-index join → group by pair →
-    |∩| from match count, |∪| by inclusion-exclusion). The shared-shingle
-    equi-join replaces the all-pairs product; at scale, combine with
-    minhash_lsh_pairs as the candidate generator instead."""
+def ngram_jaccard_pairs(df: DataFrame, k_shingle: int = 3, threshold: float = 0.2,
+                        max_df: int = 500) -> DataFrame:
+    """Jaccard over k-token shingle sets for candidate pairs that share
+    at least one shingle (inverted-index join → group by pair → |∩| from
+    match count, |∪| by inclusion-exclusion).
+
+    Scale safety: shingles with document frequency above ``max_df`` are
+    excluded from the self-join — a corpus-wide hot shingle ("all rights
+    reserved") would otherwise contribute |docs|² join rows, quadratic at
+    100 TB. Set sizes still use the FULL shingle sets, so the reported
+    jaccard is a lower bound for pairs whose overlap includes capped
+    shingles (the standard inverted-index-pruning tradeoff; exact for
+    every pair at the test scales, where max df ≈ 7)."""
     sh = with_tokens(df).select(
         "doc_id", F.explode(F.array_distinct(shingles_expr(k_shingle))).alias("shingle")
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
 
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    rare = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .where(F.col("df") <= max_df)
+        .select("shingle")
+    )
+    sh_kept = sh.join(rare, "shingle")
+
+    a = sh_kept.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh_kept.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
         a.join(b, "shingle")
         .where(F.col("doc_a") < F.col("doc_b"))
@@ -370,17 +385,45 @@ def events_json_props(events: DataFrame) -> DataFrame:
     )
 
 
-def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.99) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, label-blocked to bound the
-    pair space (at scale: block on the LSH bucket instead)."""
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("label").alias("label"),
-                   F.col("embedding").alias("ea"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("label").alias("label"),
-                   F.col("embedding").alias("eb"))
-    pairs = (
-        a.join(b, "label")
-        .where(F.col("vec_a") < F.col("vec_b"))
+def _band_bucket(vec, start_dim: int, n_bits: int):
+    """Sign-bit bucket over dims [start_dim, start_dim + n_bits)."""
+    bucket = F.lit(0)
+    for i in range(n_bits):
+        bucket = bucket + (
+            (F.element_at(vec, start_dim + i + 1) > 0).cast("int") * F.lit(1 << i)
+        )
+    return bucket
+
+
+def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.99,
+                            n_bands: int = 2, bits_per_band: int = 4) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via sign-bit band LSH:
+    candidates share at least one band bucket (random-hyperplane LSH
+    with axis-aligned planes — no training, no label dependency), exact
+    cosine on candidates only. Each band join is an equi-join on a
+    bucket key, never an all-pairs product; at 100 TB, raise
+    ``bits_per_band`` to ~log2(N / desired_bucket_size) and write the
+    band keys as partition columns so each join is co-located. Recall
+    loss (a near-dup differing in ≥1 sign bit of every band) shrinks
+    geometrically with ``n_bands`` — the standard LSH tradeoff."""
+    band_cols = [
+        _band_bucket(F.col("embedding"), b * bits_per_band, bits_per_band).alias(f"band{b}")
+        for b in range(n_bands)
+    ]
+    bands = emb.select("vec_id", *band_cols)
+
+    cands = None
+    for b in range(n_bands):
+        a = bands.select(F.col("vec_id").alias("vec_a"), F.col(f"band{b}").alias("bk"))
+        bb = bands.select(F.col("vec_id").alias("vec_b"), F.col(f"band{b}").alias("bk"))
+        p = a.join(bb, "bk").where(F.col("vec_a") < F.col("vec_b")).select("vec_a", "vec_b")
+        cands = p if cands is None else cands.unionAll(p)
+    cands = cands.distinct()
+
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    return (
+        cands.join(ea, "vec_a").join(eb, "vec_b")
         .select("vec_a", "vec_b", cosine_expr(F.col("ea"), F.col("eb")).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
-    return pairs
