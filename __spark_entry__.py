@@ -275,6 +275,64 @@ def q_corpus_dedup(spark, sf_dir):
     )
 
 
+def q_pdf_extract(spark, sf_dir):
+    """PDF text extraction (north rule 'PDF/layout parse'): fixture PDFs
+    (mixed Flate/plain, Tj/TJ encodings, escape sequences) through the
+    mapInPandas PDF stage; oracle = generator-predicted text."""
+    from go_trafilatura_spark.pdf import extract_pdf_pages
+
+    _ensure_fixtures()
+    pdfs = spark.read.parquet(os.path.join(FIXTURE_DIR, "pdfs.parquet"))
+    out = extract_pdf_pages(pdfs)
+    return out.select(
+        "url", "pdf_text", F.col("n_text_ops").cast("bigint").alias("n_text_ops")
+    )
+
+
+def _media(spark, sf_dir):
+    """Synthesize the multimodal table from documents, JVM-side: one
+    media row per doc, kind cycling image/audio/video, payload = the
+    utf-8 bytes of the text (a deterministic opaque blob)."""
+    docs = _docs(spark, sf_dir)
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return docs.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        kind.alias("kind"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+
+
+def q_multimodal_image(spark, sf_dir):
+    """Integer-exact image features through the multimodal mapInPandas
+    plumbing (stub decode; oracle reproduces the sha256 plane in SQL)."""
+    from go_trafilatura_spark.multimodal import image_features_exact
+
+    df = image_features_exact(_media(spark, sf_dir))
+    return df.select(
+        "media_id",
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.col("sum_luma").cast("bigint").alias("sum_luma"),
+        "phash",
+    )
+
+
+def q_multimodal_frames(spark, sf_dir):
+    """Integer-exact video frame sampling (explode shape)."""
+    from go_trafilatura_spark.multimodal import video_frame_sums_exact
+
+    df = video_frame_sums_exact(_media(spark, sf_dir))
+    return df.select(
+        "media_id",
+        F.col("frame_idx").cast("bigint").alias("frame_idx"),
+        F.col("frame_sum").cast("bigint").alias("frame_sum"),
+    )
+
+
 def q_host_stats(spark, sf_dir):
     """Per-host doc counts and html size stats, computed through the
     skew-safe two-stage salted aggregation (groupBy(host, salt) partial
@@ -310,6 +368,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": q_events_windowed,
         "events_sessionized": q_events_sessionized,
         "events_json_props": q_events_json_props,
+        "pdf_extract": q_pdf_extract,
+        "multimodal_image": q_multimodal_image,
+        "multimodal_frames": q_multimodal_frames,
         "host_stats": q_host_stats,
         "text_output": q_text_output,
         "json_output": q_json_output,
@@ -541,6 +602,54 @@ SELECT url,
 FROM read_parquet('{golden}')"""
 
 
+def _sql_multimodal_image() -> str:
+    """Reproduce image_features_exact: plane = sha256('img0:'+text) ++
+    sha256('img1:'+text) bytes; sum + integer-threshold phash. DuckDB's
+    sha256(VARCHAR) hashes the same utf-8 bytes Python's does."""
+    b = []
+    for blk in range(2):
+        for i in range(32):
+            b.append(f"('0x' || substr(h{blk}, {2 * i + 1}, 2))::BIGINT")
+    total = " + ".join(f"b{i}" for i in range(64))
+    hi = " + ".join(
+        f"(CASE WHEN b{i} * 64 > total THEN {1 << (31 - i)} ELSE 0 END)"
+        for i in range(32)
+    )
+    lo = " + ".join(
+        f"(CASE WHEN b{i} * 64 > total THEN {1 << (63 - i)} ELSE 0 END)"
+        for i in range(32, 64)
+    )
+    byte_cols = ", ".join(f"{expr} AS b{i}" for i, expr in enumerate(b))
+    return f"""
+WITH media AS (
+  SELECT doc_id::VARCHAR AS media_id,
+         sha256('img0:' || text) AS h0, sha256('img1:' || text) AS h1
+  FROM documents WHERE doc_id % 3 = 0
+), bytes AS (
+  SELECT media_id, {byte_cols} FROM media
+), agg AS (
+  SELECT media_id, *, ({total}) AS total FROM bytes
+)
+SELECT media_id, 8::BIGINT AS width, 8::BIGINT AS height,
+       total AS sum_luma,
+       printf('%08x%08x', {hi}, {lo}) AS phash
+FROM agg"""
+
+
+def _sql_multimodal_frames(n_frames: int = 3) -> str:
+    frames = []
+    for idx in range(n_frames):
+        byte_sum = " + ".join(
+            f"('0x' || substr(sha256('vid{idx}:' || text), {2 * i + 1}, 2))::BIGINT"
+            for i in range(32)
+        )
+        frames.append(
+            f"SELECT doc_id::VARCHAR AS media_id, {idx}::BIGINT AS frame_idx, "
+            f"({byte_sum}) AS frame_sum FROM documents WHERE doc_id % 3 = 2"
+        )
+    return " UNION ALL ".join(frames)
+
+
 def oracle_sql() -> dict[str, str]:
     golden = GOLDEN_PARQUET.replace("'", "''")
     return {
@@ -655,6 +764,12 @@ SELECT url,
        (CASE WHEN comments_text <> '' THEN content_text || ' ' || comments_text
              ELSE content_text END) || chr(10) AS text_output
 FROM read_parquet('{golden}')""",
+        "pdf_extract": (
+            "SELECT url, pdf_text, n_text_ops::BIGINT AS n_text_ops FROM "
+            f"read_parquet('{os.path.join(FIXTURE_DIR, 'golden_pdf.parquet')}')"
+        ),
+        "multimodal_image": _sql_multimodal_image(),
+        "multimodal_frames": _sql_multimodal_frames(),
         "json_output": _sql_json_output(golden),
         "readable_html": _sql_readable_html(golden),
         "host_stats": (

@@ -488,12 +488,55 @@ def write_fixtures(out_dir: str, n: int, seed: int = 42) -> None:
     })
     pq.write_table(golden_table, os.path.join(out_dir, "golden.parquet"))
 
+    # PDF fixtures (north rule "PDF/layout parse"): deterministic PDFs
+    # cycling compression and Tj/TJ encodings, with generator-predicted
+    # extracted text. n_pdfs scales with n but stays bounded (PDF build
+    # is pure Python).
+    from .pdf import build_pdf, predict_pdf_text
+
+    rng_pdf = random.Random(seed + 1)
+    n_pdfs = min(max(n // 4, 30), 400)
+    pdf_urls, pdf_bytes, pdf_texts, pdf_ops = [], [], [], []
+    for i in range(n_pdfs):
+        paragraphs = [
+            _paragraph(rng_pdf, _WORDS_EN) for _ in range(rng_pdf.randint(1, 3))
+        ]
+        if i % 5 == 0:
+            # exercise escape handling: parens + backslash in content
+            paragraphs.append("Edge (case) with \\ backslash and (nested (parens)).")
+        compress = i % 2 == 1
+        use_tj = i % 4 >= 2
+        pdf_urls.append(f"https://synth.local/pdf/{i:05d}.pdf")
+        pdf_bytes.append(build_pdf(paragraphs, compress=compress, use_tj_array=use_tj))
+        text, n_ops = predict_pdf_text(paragraphs)
+        pdf_texts.append(text)
+        # TJ form emits one op per word; Tj one per sentence
+        if use_tj:
+            n_ops = sum(len(line.split(" ")) for line in text.split("\n") if line)
+        pdf_ops.append(n_ops)
+
+    pq.write_table(
+        pa.table({
+            "url": pa.array(pdf_urls, pa.string()),
+            "pdf": pa.array(pdf_bytes, pa.binary()),
+        }),
+        os.path.join(out_dir, "pdfs.parquet"),
+    )
+    pq.write_table(
+        pa.table({
+            "url": pa.array(pdf_urls, pa.string()),
+            "pdf_text": pa.array(pdf_texts, pa.string()),
+            "n_text_ops": pa.array(pdf_ops, pa.int32()),
+        }),
+        os.path.join(out_dir, "golden_pdf.parquet"),
+    )
+
 
 FIXTURE_ROOT = "/root/repo/fixtures"
 SCALES = {"smoke": 120, "correctness": 800, "bench": 4000}
 # Bump when the golden schema/prediction changes so stale parquet on disk
 # is regenerated (fixture content itself is deterministic, seed=42).
-FIXTURE_VERSION = "2"
+FIXTURE_VERSION = "3"
 
 
 def ensure_fixtures(scale: str = "correctness") -> str:

@@ -201,6 +201,85 @@ def audio_features(df: DataFrame, backend: DecodeBackend | None = None) -> DataF
     return df.select("media_id", "kind", "payload").mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
 
 
+EXACT_IMAGE_SCHEMA = StructType([
+    StructField("media_id", StringType()),
+    StructField("width", IntegerType()),
+    StructField("height", IntegerType()),
+    StructField("sum_luma", IntegerType()),
+    StructField("phash", StringType()),
+])
+
+EXACT_FRAME_SCHEMA = StructType([
+    StructField("media_id", StringType()),
+    StructField("frame_idx", IntegerType()),
+    StructField("frame_sum", IntegerType()),
+])
+
+
+def _exact_plane(payload: bytes, salt: str, n_bytes: int = 64) -> list[int]:
+    """Deterministic synthetic 'decode': byte plane from chained sha256
+    of '<salt><i>:' + payload. Integer-exact by construction so a SQL
+    oracle can reproduce it bit-for-bit (no float rounding anywhere)."""
+    out: list[int] = []
+    i = 0
+    while len(out) < n_bytes:
+        out.extend(hashlib.sha256(f"{salt}{i}:".encode() + payload).digest())
+        i += 1
+    return out[:n_bytes]
+
+
+def image_features_exact(df: DataFrame) -> DataFrame:
+    """Integer-exact image features over the stub decode: 8×8 luma-byte
+    plane → sum_luma and a 64-bit perceptual hash with the integer
+    threshold rule bit_i = (b_i * 64 > Σb) — equivalent to
+    (b_i/255 > mean) but free of float ties, so Spark and the DuckDB
+    oracle agree bit-for-bit. Same mapInPandas plumbing as the float
+    pipeline (binary never on the driver)."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for media_id, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                if kind != "image" or payload is None:
+                    continue
+                plane = _exact_plane(bytes(payload), "img")
+                total = sum(plane)
+                bits = "".join("1" if b * 64 > total else "0" for b in plane)
+                rows.append({
+                    "media_id": media_id, "width": 8, "height": 8,
+                    "sum_luma": total, "phash": f"{int(bits, 2):016x}",
+                })
+            yield pd.DataFrame(rows, columns=[f.name for f in EXACT_IMAGE_SCHEMA.fields])
+
+    return df.select("media_id", "kind", "payload").mapInPandas(batches, EXACT_IMAGE_SCHEMA)
+
+
+def video_frame_sums_exact(df: DataFrame, n_frames: int = 3) -> DataFrame:
+    """Integer-exact frame sampling: per sampled frame, the sum of its
+    32-byte synthetic luma block (one row per frame — the explode shape
+    of real frame sampling, with oracle-reproducible values)."""
+
+    def batches(it: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in it:
+            rows = []
+            for media_id, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                if kind != "video" or payload is None:
+                    continue
+                for idx in range(n_frames):
+                    block = hashlib.sha256(f"vid{idx}:".encode() + bytes(payload)).digest()
+                    rows.append({
+                        "media_id": media_id, "frame_idx": idx,
+                        "frame_sum": sum(block),
+                    })
+            yield pd.DataFrame(rows, columns=[f.name for f in EXACT_FRAME_SCHEMA.fields])
+
+    return df.select("media_id", "kind", "payload").mapInPandas(batches, EXACT_FRAME_SCHEMA)
+
+
 def sample_video_frames(df: DataFrame, n_frames: int = 3,
                         backend: DecodeBackend | None = None) -> DataFrame:
     """Frame-sample videos → per-frame mean luma rows (explode shape)."""
