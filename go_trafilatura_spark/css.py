@@ -69,19 +69,25 @@ class SimpleSelector:
 
 
 class CompoundSelector:
-    """A chain of simple selectors joined by descendant combinators."""
+    """A chain of simple selectors joined by descendant combinators.
+    The last/ancestor split is precomputed — matches() runs millions of
+    times per batch and a per-call slice allocation dominates it."""
 
-    __slots__ = ("parts",)
+    __slots__ = ("parts", "_last", "_ancestors")
 
     def __init__(self, parts: list[SimpleSelector]):
         self.parts = parts
+        self._last = parts[-1] if parts else None
+        self._ancestors = parts[:-1]
 
     def matches(self, el: Element) -> bool:
-        if not self.parts or not self.parts[-1].matches(el):
+        if self._last is None or not self._last.matches(el):
             return False
-        remaining = self.parts[:-1]
-        node = el.parent
+        remaining = self._ancestors
         idx = len(remaining) - 1
+        if idx < 0:
+            return True
+        node = el.parent
         while idx >= 0 and node is not None:
             if remaining[idx].matches(node):
                 idx -= 1

@@ -18,6 +18,7 @@ raw-text script/style, comment nodes and entity decoding.
 
 from __future__ import annotations
 
+import re
 from html.parser import HTMLParser
 
 COMMENT = "#comment"
@@ -195,7 +196,8 @@ def _collect_tags(el: Element, tagset: frozenset, out: list) -> None:
     for child in el.children:
         if child.tag in tagset:
             out.append(child)
-        _collect_tags(child, tagset, out)
+        if child.children:
+            _collect_tags(child, tagset, out)
 
 
 def collect_by_tags(root: Element, tags) -> dict:
@@ -588,6 +590,11 @@ class _TreeBuilder(HTMLParser):
         self.afe: list = []
 
     # -- helpers ----------------------------------------------------------
+    def updatepos(self, i: int, j: int) -> int:
+        # We never read getpos(); skipping _markupbase's line counting
+        # saves ~3% of parse time on big pages.
+        return j
+
     def _current(self) -> Element:
         if self.stack:
             return self.stack[-1]
@@ -952,6 +959,210 @@ class _TreeBuilder(HTMLParser):
         pass
 
 
+# ---------------------------------------------------------------------------
+# Fast tokenizer: a markup scanner with html.parser-compatible callbacks.
+# ~2-3× faster than HTMLParser's goahead loop on large pages; tree
+# equality with the HTMLParser path is asserted over the fixture corpus,
+# the reference's 960 comparison pages and property tests
+# (tests/test_fast_tokenizer.py). Set FAST_TOKENIZER=False to fall back.
+# ---------------------------------------------------------------------------
+
+FAST_TOKENIZER = True
+
+# html.parser's tolerant tag-name charset (tagfind_tolerant): anything
+# until whitespace, "/", ">" — names like "div!--" DO occur in the wild
+# and the stdlib keeps them, so equality requires the same behavior.
+_RX_TAGNAME = re.compile(r"[a-zA-Z][^\t\n\r\f />\x00]*")
+# Strict end-tag form (stdlib endtagfind) — the tolerant path only
+# applies when this fails.
+_RX_ENDTAG_STRICT = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
+# Mirrors html.parser's attrfind_tolerant: the name may start with any
+# non-space/slash/gt char (wild pages carry names like '="x"'), "=+"
+# runs are consumed, quoted values must close.
+_RX_ATTR = re.compile(
+    r"""\s*([^\s/>][^\s/=>]*)(\s*=+\s*('[^']*'|"[^"]*"|(?!['"])[^>\s]*))?"""
+)
+# cdata mode ends ONLY at a full close tag (stdlib set_cdata_mode):
+# "</script foo>" does NOT end a script element.
+_RX_RAWTEXT_END = {
+    t: re.compile(r"</\s*%s\s*>" % t, re.I) for t in ("script", "style")
+}
+_RX_COMMENT_CLOSE = re.compile(r"--\s*>")          # _markupbase._commentclose
+# _markupbase: standard sections (cdata/temp/...) close at "]]>", the
+# MS-Office conditionals (if/else/endif) at "]>"
+_RX_SECT_CLOSE = re.compile(r"\]\s*\]\s*>")
+_RX_MS_SECT_CLOSE = re.compile(r"\]\s*>")
+_RX_SECT_NAME = re.compile(r"[a-zA-Z][-_.a-zA-Z0-9]*")
+_STD_SECTS = frozenset(("temp", "cdata", "ignore", "include", "rcdata"))
+_MS_SECTS = frozenset(("if", "else", "endif"))
+
+
+def _fast_feed(text: str, builder: "_TreeBuilder") -> None:
+    from html import unescape
+
+    n = len(text)
+    i = 0
+    handle_data = builder.handle_data
+    handle_start = builder.handle_starttag
+    handle_end = builder.handle_endtag
+    handle_comment = builder.handle_comment
+    find = text.find
+
+    def incomplete(lt: int) -> int:
+        """stdlib goahead EOF fallback for an unterminated construct:
+        emit data through the first '>', else to the next '<', else one
+        char."""
+        k = find(">", lt + 1)
+        if k < 0:
+            k = find("<", lt + 1)
+            if k < 0:
+                k = lt + 1
+        else:
+            k += 1
+        chunk = text[lt:k]
+        handle_data(unescape(chunk) if "&" in chunk else chunk)
+        return k
+
+    while i < n:
+        lt = find("<", i)
+        if lt < 0:
+            if i < n:
+                chunk = text[i:]
+                handle_data(unescape(chunk) if "&" in chunk else chunk)
+            break
+        if lt > i:
+            chunk = text[i:lt]
+            handle_data(unescape(chunk) if "&" in chunk else chunk)
+        c = text[lt + 1:lt + 2]
+        if c == "/":
+            gt_any = find(">", lt + 1)
+            if gt_any < 0:
+                i = incomplete(lt)
+                continue
+            m = _RX_ENDTAG_STRICT.match(text, lt)
+            if m is not None:
+                handle_end(m.group(1).lower())
+                i = m.end()
+                continue
+            m = _RX_TAGNAME.match(text, lt + 2)
+            if m is None:
+                if text[lt:lt + 3] == "</>":
+                    i = lt + 3
+                    continue
+                # "</" + junk → bogus comment (stdlib parse_bogus_comment)
+                handle_comment(text[lt + 2:gt_any])
+                i = gt_any + 1
+                continue
+            tag = m.group(0).lower()
+            gt = find(">", m.end())
+            handle_end(tag)
+            i = (gt + 1) if gt >= 0 else n
+            continue
+        if c == "!":
+            if text[lt + 2:lt + 4] == "--":
+                endm = _RX_COMMENT_CLOSE.search(text, lt + 4)
+                if endm is None:
+                    i = incomplete(lt)
+                    continue
+                handle_comment(text[lt + 4:endm.start()])
+                i = endm.end()
+                continue
+            if text[lt + 2:lt + 3] == "[":
+                # marked section (stdlib parse_marked_section): standard
+                # sections close at "]]>", MS conditionals at "]>";
+                # unknown section names abort the feed (the stdlib
+                # raises there and parse_html keeps the partial tree)
+                secm = _RX_SECT_NAME.match(text, lt + 3)
+                sect = secm.group(0).lower() if secm else ""
+                if sect in _MS_SECTS:
+                    endm = _RX_MS_SECT_CLOSE.search(text, lt + 3)
+                elif sect in _STD_SECTS:
+                    endm = _RX_SECT_CLOSE.search(text, lt + 3)
+                elif secm is None:
+                    i = incomplete(lt)
+                    continue
+                else:
+                    return
+                if endm is None:
+                    i = incomplete(lt)
+                    continue
+                i = endm.end()
+                continue
+            gt = find(">", lt + 2)
+            if gt < 0:
+                i = incomplete(lt)
+                continue
+            body = text[lt + 2:gt]
+            if body[:7].lower() != "doctype":
+                # bogus comment: handle_comment for any "<!...>" that is
+                # not a doctype/marked section (stdlib)
+                handle_comment(body)
+            i = gt + 1
+            continue
+        if c == "?":
+            gt = find(">", lt + 2)
+            if gt < 0:
+                i = incomplete(lt)
+                continue
+            i = gt + 1
+            continue
+        m = _RX_TAGNAME.match(text, lt + 1)
+        if m is None:
+            # bare "<" → literal text (html.parser emits it as data,
+            # including a trailing "<" at EOF)
+            handle_data("<")
+            i = lt + 1
+            continue
+        tag = m.group(0).lower()
+        # attributes until ">" (respecting quotes)
+        j = m.end()
+        attrs: list = []
+        selfclose = False
+        while j < n:
+            ch = text[j]
+            if ch == ">":
+                break
+            if ch == "/" and text[j + 1:j + 2] == ">":
+                selfclose = True
+                j += 1
+                break
+            am = _RX_ATTR.match(text, j)
+            if am is None or am.end() == j:
+                j += 1
+                continue
+            name = am.group(1).lower()
+            rawval = am.group(3)
+            if rawval is None:
+                val = None
+            else:
+                if rawval[:1] in ("'", '"'):
+                    rawval = rawval[1:-1]
+                val = unescape(rawval) if "&" in rawval else rawval
+            attrs.append((name, val))
+            j = am.end()
+        gt = find(">", j)
+        if gt < 0:
+            i = incomplete(lt)
+            continue
+        if selfclose and gt == j:
+            # "<script/>" is a startend tag in stdlib: no cdata mode
+            builder.handle_startendtag(tag, attrs)
+            i = gt + 1
+            continue
+        handle_start(tag, attrs)
+        i = gt + 1
+        if tag in ("script", "style"):
+            # rawtext: no entity decoding; ends only at a full close tag;
+            # unterminated rawtext at EOF is dropped (stdlib cdata mode)
+            endm = _RX_RAWTEXT_END[tag].search(text, i)
+            if endm is None:
+                break
+            if endm.start() > i:
+                handle_data(text[i:endm.start()])
+            handle_end(tag)
+            i = endm.end()
+
+
 def parse_html(data: bytes | str) -> Element:
     """Parse an HTML document → #document root containing html>head+body.
 
@@ -963,10 +1174,29 @@ def parse_html(data: bytes | str) -> Element:
         text = data
     builder = _TreeBuilder()
     try:
+        if FAST_TOKENIZER:
+            _fast_feed(text, builder)
+        else:
+            builder.feed(text)
+            builder.close()
+    except Exception:
+        # resilient parse: return what we have
+        pass
+    return builder.root
+
+
+def parse_html_stdlib(data: bytes | str) -> Element:
+    """HTMLParser-tokenized parse (the reference path for the fast
+    tokenizer's equality tests)."""
+    if isinstance(data, (bytes, bytearray)):
+        text = _decode_html_bytes(bytes(data))
+    else:
+        text = data
+    builder = _TreeBuilder()
+    try:
         builder.feed(text)
         builder.close()
     except Exception:
-        # html.parser is resilient, but guard anyway: return what we have
         pass
     return builder.root
 
