@@ -42,6 +42,8 @@ class SimpleSelector:
     def matches(self, el: Element) -> bool:
         if self.tag is not None and self.tag != "*" and el.tag != self.tag:
             return False
+        if not self.conds:
+            return True
         for attr, op, val in self.conds:
             actual = el.attrib.get(attr)
             if actual is None:
@@ -171,11 +173,24 @@ def _parse_group_uncached(selector: str) -> list[CompoundSelector]:
     return group
 
 
+def _candidates(root: Element, sels: list[CompoundSelector]) -> list[Element]:
+    """Traversal pre-filter: when every selector in the group targets
+    the same final tag, walk only those elements (doc order preserved)
+    instead of the whole tree — most metadata selectors are shaped
+    'meta[...]' and this cuts the scan by ~100×."""
+    tags = {s._last.tag if s._last is not None else None for s in sels}
+    if len(tags) == 1:
+        tag = tags.pop()
+        if tag is not None and tag != "*":
+            return get_elements_by_tag(root, tag)
+    return get_elements_by_tag(root, "*")
+
+
 def query_all(root: Element, selector: str | list[CompoundSelector]) -> list[Element]:
     """dom.QuerySelectorAll — all matching descendants in doc order."""
     sels = parse_group(selector) if isinstance(selector, str) else selector
     out = []
-    for el in get_elements_by_tag(root, "*"):
+    for el in _candidates(root, sels):
         for sel in sels:
             if sel.matches(el):
                 out.append(el)
@@ -186,7 +201,7 @@ def query_all(root: Element, selector: str | list[CompoundSelector]) -> list[Ele
 def query(root: Element, selector: str | list[CompoundSelector]) -> Element | None:
     """dom.QuerySelector — first matching descendant in doc order."""
     sels = parse_group(selector) if isinstance(selector, str) else selector
-    for el in get_elements_by_tag(root, "*"):
+    for el in _candidates(root, sels):
         for sel in sels:
             if sel.matches(el):
                 return el

@@ -653,8 +653,9 @@ def examine_title_element(doc: Element) -> tuple[str, str, str]:
 
 def extract_dom_meta_selectors(doc: Element, limit: int, rules) -> str:
     """metadata.go:626-640."""
+    elements = etree.get_elements_by_tag(doc, "*")
     for rule in rules:
-        for node in selectors.query_all(doc, rule):
+        for node in selectors.query_all(doc, rule, elements):
             text = trim(etree.iter_text(node, " "))
             if 2 < len(text) < limit:
                 return text
@@ -739,8 +740,9 @@ def extract_dom_sitename(doc: Element) -> str:
 def extract_dom_categories(doc: Element) -> list[str]:
     """metadata.go:555-589."""
     categories: list[str] = []
+    elements = etree.get_elements_by_tag(doc, "*")
     for rule in selectors.META_CATEGORIES:
-        for node in selectors.query_all(doc, rule):
+        for node in selectors.query_all(doc, rule, elements):
             href = trim(node.get("href"))
             if href and RX_CATEGORY_HREF.search(href):
                 text = trim(etree.text_content(node))
@@ -762,8 +764,9 @@ def extract_dom_categories(doc: Element) -> list[str]:
 def extract_dom_tags(doc: Element) -> list[str]:
     """metadata.go:592-612."""
     tags: list[str] = []
+    elements = etree.get_elements_by_tag(doc, "*")
     for rule in selectors.META_TAGS:
-        for node in selectors.query_all(doc, rule):
+        for node in selectors.query_all(doc, rule, elements):
             href = trim(node.get("href"))
             if href and RX_TAG_HREF.search(href):
                 text = trim(etree.text_content(node))

@@ -21,8 +21,12 @@ def query(root: Element, rule) -> Element | None:
     return None
 
 
-def query_all(root: Element, rule) -> list[Element]:
-    return [el for el in get_elements_by_tag(root, "*") if rule(el)]
+def query_all(root: Element, rule, elements: list | None = None) -> list[Element]:
+    """``elements`` lets callers trying several rules against an
+    UNCHANGED tree hoist the full traversal out of the rule loop."""
+    if elements is None:
+        elements = get_elements_by_tag(root, "*")
+    return [el for el in elements if rule(el)]
 
 
 def _idc(el: Element):
