@@ -134,6 +134,16 @@ def q_simhash(spark, sf_dir):
     return textops.simhash(_docs(spark, sf_dir))
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Connected components over the LSH pair graph (min-label
+    propagation); oracle = DuckDB recursive-CTE transitive closure."""
+    df = textops.dedup_clusters(_docs(spark, sf_dir))
+    return df.select(
+        "doc_id", "cluster_id",
+        F.col("is_canonical").cast("bigint").alias("is_canonical"),
+    )
+
+
 def q_ngram_jaccard(spark, sf_dir):
     return textops.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.2).select(
         "doc_a", "doc_b", F.col("n_common").cast("bigint").alias("n_common"), "jaccard"
@@ -357,6 +367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "simhash": q_simhash,
+        "dedup_clusters": q_dedup_clusters,
         "ngram_jaccard": q_ngram_jaccard,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
@@ -673,6 +684,21 @@ FROM (SELECT doc_id, md5({_NORm}) AS fingerprint FROM documents)""",
         "minhash_signatures": _sql_minhash_sigs(),
         "minhash_lsh_pairs": _sql_lsh_pairs(),
         "simhash": _sql_simhash(),
+        "dedup_clusters": f"""
+WITH RECURSIVE lsh AS ({_sql_lsh_pairs()}),
+edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM lsh
+  UNION ALL
+  SELECT doc_b, doc_a FROM lsh
+),
+reach AS (
+  SELECT doc_id AS a, doc_id AS b FROM documents
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+)
+SELECT a AS doc_id, min(b) AS cluster_id,
+       CASE WHEN a = min(b) THEN 1 ELSE 0 END AS is_canonical
+FROM reach GROUP BY a""",
         "ngram_jaccard": _sql_jaccard(),
         "quality_scores": _sql_quality(),
         "lang_id": _sql_lang_id(),

@@ -158,6 +158,59 @@ def minhash_lsh_pairs(df: DataFrame, k_shingle: int = 3) -> DataFrame:
     return pairs.distinct()
 
 
+def dedup_clusters(df: DataFrame, k_shingle: int = 3, max_iter: int = 15) -> DataFrame:
+    """Near-duplicate clusters: connected components over the MinHash-LSH
+    candidate pair graph via min-label propagation. Each doc's cluster_id
+    is the smallest doc_id reachable through shared LSH bands;
+    is_canonical marks the cluster representative (the keep-one-of-each
+    decision of a corpus dedup pass).
+
+    Scale shape: every iteration is one equi-join on doc_id + one
+    groupBy(min) — the standard large-graph CC loop (label count halves
+    at least geometrically; diameter of near-dup clusters is tiny, so
+    convergence is ~O(log of the largest cluster), checked with an early
+    stop). No adjacency ever collects to the driver."""
+    pairs = minhash_lsh_pairs(df, k_shingle)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    labels = df.select("doc_id", F.col("doc_id").alias("cluster_id"))
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            labels.join(edges, labels["doc_id"] == edges["src"])
+            .groupBy("dst")
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["doc_id"] == neighbor_min["dst"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+        labels = labels.localCheckpoint() if hasattr(labels, "localCheckpoint") else labels
+
+    return labels.select(
+        "doc_id", "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
 # -- SimHash -----------------------------------------------------------------
 
 def simhash(df: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:

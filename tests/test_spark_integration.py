@@ -341,3 +341,24 @@ def test_multimodal_plumbing(spark):
         assert r["sample_rate"] == 16000
         assert r["n_samples"] == 64
         assert 0.0 <= r["rms"] <= 1.0 and 0.0 <= r["peak"] <= 1.0
+
+
+def test_dedup_clusters_chain(spark):
+    """Connected components: a chained near-dup family (A~B, B~C) must
+    collapse to one cluster with the smallest doc_id canonical."""
+    from go_trafilatura_spark import textops
+    from pyspark.sql import functions as F
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    rows = [
+        (1, base, "en"),
+        (2, base + "lambda", "en"),          # near-dup of 1
+        (3, base + "lambda mu", "en"),       # near-dup of 2 (chain)
+        (10, "completely different words entirely unrelated text here " * 6, "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r.doc_id: r for r in textops.dedup_clusters(df).collect()}
+    assert out[1].cluster_id == 1 and out[1].is_canonical
+    assert out[2].cluster_id == 1 and not out[2].is_canonical
+    assert out[3].cluster_id == 1 and not out[3].is_canonical
+    assert out[10].cluster_id == 10 and out[10].is_canonical
