@@ -117,6 +117,12 @@ def q_fingerprints(spark, sf_dir):
     return textops.fingerprints(_docs(spark, sf_dir))
 
 
+def q_winnowing(spark, sf_dir):
+    """Winnowing local fingerprints (MOSS scheme), deterministic window
+    minima over md5-derived shingle hashes."""
+    return textops.winnowing_fingerprints(_docs(spark, sf_dir))
+
+
 def q_exact_dedup(spark, sf_dir):
     df = textops.exact_dedup_flags(_docs(spark, sf_dir))
     return df.select("doc_id", "fingerprint", F.col("is_duplicate").cast("bigint").alias("is_duplicate"))
@@ -363,6 +369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_fixture_parity": q_extract_fixture_parity,
         "token_counts": q_token_counts,
         "fingerprints": q_fingerprints,
+        "winnowing": q_winnowing,
         "exact_dedup": q_exact_dedup,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -676,6 +683,20 @@ SELECT doc_id,
        length(trim(text)) AS n_chars_text
 FROM documents""",
         "fingerprints": f"SELECT doc_id, md5({_NORm}) AS fingerprint FROM documents",
+        "winnowing": f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS} AS tokens FROM documents
+), hashed AS (
+  SELECT doc_id,
+         [('0x' || substr(md5(tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]), 1, 15))::BIGINT
+          FOR i IN range(1, greatest(len(tokens)-2, 0)+1)] AS h
+  FROM toks
+), mins AS (
+  SELECT doc_id,
+         list_distinct([list_min(h[i:i+3]) FOR i IN range(1, greatest(len(h)-3, 0)+1)]) AS fps
+  FROM hashed WHERE len(h) >= 4
+)
+SELECT doc_id, unnest(fps) AS fingerprint FROM mins""",
         "exact_dedup": f"""
 SELECT doc_id, fingerprint,
        CASE WHEN row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) > 1

@@ -77,6 +77,34 @@ def fingerprints(df: DataFrame) -> DataFrame:
     )
 
 
+def winnowing_fingerprints(df: DataFrame, k_shingle: int = 3, window: int = 4) -> DataFrame:
+    """Winnowing (the MOSS local fingerprinting scheme): hash every
+    k-token shingle, slide a window of ``window`` hashes, keep each
+    window's minimum — guaranteeing any match of length ≥ k+window-1
+    tokens shares a fingerprint, at ~2/(window+1) the density of full
+    hashing. Entirely JVM-side (transform/slice/array_min over the
+    shingle-hash array — no shuffle until the final explode), so the
+    selection is deterministic and a SQL oracle reproduces it exactly.
+    Output: one row per distinct (doc_id, fingerprint)."""
+    toks = with_tokens(df)
+    shingle_hashes = F.expr(
+        f"""transform(
+              transform(sequence(1, greatest(size(tokens) - {k_shingle - 1}, 0)),
+                        i -> concat({", ' ', ".join(f"element_at(tokens, i + {j})" for j in range(k_shingle))})),
+              s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint))"""
+    )
+    hashed = toks.select("doc_id", shingle_hashes.alias("h"))
+    mins = F.expr(
+        f"""array_distinct(transform(
+              sequence(1, greatest(size(h) - {window - 1}, 0)),
+              i -> array_min(slice(h, i, {window}))))"""
+    )
+    return (
+        hashed.where(F.size("h") >= window)
+        .select("doc_id", F.explode(mins).alias("fingerprint"))
+    )
+
+
 # -- exact dedup -------------------------------------------------------------
 
 def exact_dedup_flags(df: DataFrame) -> DataFrame:
