@@ -250,8 +250,13 @@ def readability_candidate(doc: Element, options=None) -> Element | None:
 
     best: Element | None = None
     best_len = -1
-    for strip_unlikely, weight_classes in ((True, True), (False, True), (False, False)):
-        out = _grab_article(etree.clone(base, True), strip_unlikely, weight_classes)
+    for strip_unlikely, weight_classes, clean_conditionally in (
+        (True, True, True), (False, True, True),
+        (False, False, True), (False, False, False),
+    ):
+        out = _grab_article(
+            etree.clone(base, True), strip_unlikely, weight_classes, clean_conditionally
+        )
         if out is None:
             continue
         out_len = len(trim(etree.text_content(out)))
@@ -262,7 +267,104 @@ def readability_candidate(doc: Element, options=None) -> Element | None:
     return best
 
 
-def _grab_article(work: Element, strip_unlikely: bool, weight_classes: bool) -> Element | None:
+def _mark_data_tables(root: Element) -> set:
+    """readability.js _markDataTables: tables that present data (vs
+    layout) are preserved by conditional cleaning."""
+    data = set()
+    for t in etree.get_elements_by_tag(root, "table"):
+        if t.get("role") == "presentation" or t.get("datatable") == "0":
+            continue
+        if t.get("summary"):
+            data.add(id(t))
+            continue
+        caps = etree.get_elements_by_tag(t, "caption")
+        if caps and (caps[0].text or caps[0].children):
+            data.add(id(t))
+            continue
+        if any(
+            etree.get_elements_by_tag(t, tag)
+            for tag in ("col", "colgroup", "tfoot", "thead", "th")
+        ):
+            data.add(id(t))
+            continue
+        if etree.get_elements_by_tag(t, "table"):
+            continue
+        rows = etree.get_elements_by_tag(t, "tr")
+        ncols = max(
+            (len(etree.get_elements_by_tag(r, "td")) for r in rows), default=0
+        )
+        if len(rows) >= 10 or ncols > 4 or len(rows) * ncols > 10:
+            data.add(id(t))
+    return data
+
+
+def _clean_conditionally(root: Element, class_weight) -> None:
+    """readability.js _cleanConditionally: drop form/fieldset/table/ul/
+    div nodes whose shape says boilerplate (negative class weight, link
+    farms, input clusters, bare embeds), keeping data tables and
+    anything inside code blocks."""
+    data_tables = _mark_data_tables(root)
+    for tag in ("form", "fieldset", "table", "ul", "div"):
+        for node in reversed(etree.get_elements_by_tag(root, tag)):
+            if node.parent is None:
+                continue  # inside an already-removed subtree
+            if tag == "table" and id(node) in data_tables:
+                continue
+            anc = node.parent
+            in_figure = False
+            skip = False
+            while anc is not None:
+                if anc.tag == "table" and id(anc) in data_tables:
+                    skip = True
+                    break
+                if anc.tag in ("code", "pre"):
+                    skip = True
+                    break
+                if anc.tag == "figure":
+                    in_figure = True
+                anc = anc.parent
+            if skip:
+                continue
+            weight = class_weight(node)
+            if weight < 0:
+                etree.remove(node, keep_tail=True)
+                continue
+            text = trim(etree.text_content(node))
+            if text.count(",") + text.count("，") >= 10:
+                continue
+            p = len(etree.get_elements_by_tag(node, "p"))
+            img = len(etree.get_elements_by_tag(node, "img"))
+            li = len(etree.get_elements_by_tag(node, "li")) - 100
+            inputs = len(etree.get_elements_by_tag(node, "input"))
+            embeds = sum(
+                len(etree.get_elements_by_tag(node, t))
+                for t in ("object", "embed", "iframe")
+            )
+            link_len = sum(
+                len(trim(etree.text_content(a)))
+                for a in etree.get_elements_by_tag(node, "a")
+            )
+            density = (link_len / len(text)) if text else 0.0
+            clen = len(text)
+            is_list = tag == "ul"
+            to_remove = (
+                (img > 1 and p / img < 0.5 and not in_figure)
+                or (not is_list and li > p)
+                or (inputs > p // 3)
+                or (
+                    not is_list and clen < 25
+                    and (img == 0 or img > 2) and not in_figure
+                )
+                or (not is_list and weight < 25 and density > 0.2)
+                or (weight >= 25 and density > 0.5)
+                or ((embeds == 1 and clen < 75) or embeds > 1)
+            )
+            if to_remove:
+                etree.remove(node, keep_tail=True)
+
+
+def _grab_article(work: Element, strip_unlikely: bool, weight_classes: bool,
+                  clean_conditionally: bool = True) -> Element | None:
     """One grabArticle pass (readability.js heuristics, arc90 scoring)."""
     # Remove unlikely candidates (readability.js removeUnlikelyCandidates)
     if strip_unlikely:
@@ -368,6 +470,12 @@ def _grab_article(work: Element, strip_unlikely: bool, weight_classes: bool) -> 
         for child in list(work.children):
             etree.append(out, child)
     else:
+        # readability.js's score-based parent walk-up was tried here and
+        # measured a wash on the comparison corpus (F 0.9102 vs 0.9099)
+        # while regressing a transcribed reference expectation
+        # (speicherguide: the walk climbs into a related-links
+        # container) — omitted deliberately.
+
         # readability.js: while the top candidate is an only child, use
         # its parent (sibling joining then sees adjacent content).
         while (
@@ -405,6 +513,11 @@ def _grab_article(work: Element, strip_unlikely: bool, weight_classes: bool) -> 
                     etree.append(out, sibling)
         else:
             etree.append(out, top)
+
+    # readability's conditional cleaning (prepArticle) — the flag drops
+    # on the last retry, like FLAG_CLEAN_CONDITIONALLY
+    if clean_conditionally:
+        _clean_conditionally(out, class_weight)
 
     # readability's empty-paragraph cleanup
     for p in reversed(etree.get_elements_by_tag(out, "p")):
