@@ -497,7 +497,9 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE round(n_common / (sa.n_shingles + sb.n_shingles - n_common), 4) >= {threshold}"""
 
 
-def _sql_lsh_pairs() -> str:
+def _sql_lsh_pairs(max_band_df: int = 100) -> str:
+    # Same hot-band frequency cap as textops.minhash_lsh_pairs: band
+    # keys with document frequency > max_band_df never enter the join.
     return f"""
 WITH sigs AS ({_sql_minhash_sigs()}),
 bands AS (
@@ -506,13 +508,17 @@ bands AS (
          sig2::VARCHAR || '_' || sig3::VARCHAR AS band1
   FROM sigs
 ),
+ok0 AS (SELECT band0 FROM bands GROUP BY band0 HAVING count(*) <= {max_band_df}),
+ok1 AS (SELECT band1 FROM bands GROUP BY band1 HAVING count(*) <= {max_band_df}),
 p0 AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b ON a.band0 = b.band0 WHERE a.doc_id < b.doc_id
+  FROM bands a JOIN bands b ON a.band0 = b.band0
+  WHERE a.doc_id < b.doc_id AND a.band0 IN (SELECT band0 FROM ok0)
 ),
 p1 AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b ON a.band1 = b.band1 WHERE a.doc_id < b.doc_id
+  FROM bands a JOIN bands b ON a.band1 = b.band1
+  WHERE a.doc_id < b.doc_id AND a.band1 IN (SELECT band1 FROM ok1)
 )
 SELECT DISTINCT doc_a, doc_b FROM (SELECT * FROM p0 UNION ALL SELECT * FROM p1)"""
 
@@ -820,8 +826,10 @@ FROM read_parquet('{golden}')""",
         "json_output": _sql_json_output(golden),
         "readable_html": _sql_readable_html(golden),
         "host_stats": (
-            f"SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host, "
-            f"count(*) AS n_pages, sum(octet_length(html))::BIGINT AS total_bytes "
+            # Same scheme-agnostic host regex as pipeline.HOST_REGEX.
+            "SELECT regexp_extract(url, "
+            "'^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1) AS host, "
+            "count(*) AS n_pages, sum(octet_length(html))::BIGINT AS total_bytes "
             f"FROM read_parquet('{PAGES_PARQUET}') GROUP BY host"
         ),
     }

@@ -99,6 +99,77 @@ def _worker(parallelism: int, target_docs: int | None = None) -> None:
     spark.stop()
 
 
+def _control_pages(target_docs: int) -> list[bytes]:
+    """Build the same bench-shaped pages as _worker, with NO Spark:
+    documents.parquet via pyarrow → html bytes in Python."""
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(os.path.join(SF_DIR, "documents.parquet"),
+                        columns=["doc_id", "text"])
+    ids = tbl.column("doc_id").to_pylist()
+    texts = tbl.column("text").to_pylist()
+    pages = []
+    for doc_id, text in zip(ids, texts):
+        if not text or not text.strip():
+            continue
+        paras = f"<p>{text}</p>" * PARA_REPEAT
+        pages.append(
+            (f"<html><head><title>Doc {doc_id}</title></head><body>"
+             f'<article class="post-content"><h1>Doc {doc_id}</h1>{paras}'
+             f"</article></body></html>").encode("utf-8")
+        )
+    replicate = max(1, target_docs // max(len(pages), 1))
+    return pages * replicate
+
+
+def _control_extract_chunk(chunk: list[bytes]) -> int:
+    from go_trafilatura_spark.core import extract
+    from go_trafilatura_spark.options import Options
+
+    opts = Options.from_dict(
+        {"config": {"min_extracted_size": 0, "min_output_size": 0}}
+    )
+    n = 0
+    for html in chunk:
+        if extract(html, opts) is not None:
+            n += 1
+    return n
+
+
+def _control_worker(processes: int, target_docs: int) -> None:
+    """No-Spark control: the same kernel over the same pages through a
+    raw multiprocessing.Pool — attests that the 8→32 efficiency ceiling
+    is the shared host's memory bandwidth, not a Spark penalty."""
+    import multiprocessing as mp
+
+    sys.path.insert(0, REPO)
+    pages = _control_pages(target_docs)
+    chunks = [pages[i::processes * 4] for i in range(processes * 4)]
+    with mp.get_context("spawn").Pool(processes) as pool:
+        pool.map(_control_extract_chunk, chunks[:processes])  # warm-up subset
+        t0 = time.time()
+        done = sum(pool.map(_control_extract_chunk, chunks))
+        dt = time.time() - t0
+    print(json.dumps({"parallelism": processes, "docs": len(pages),
+                      "extracted": done, "sec": dt,
+                      "docs_per_sec": len(pages) / dt}))
+
+
+def _run_control(processes: int, target_docs: int) -> dict:
+    env = dict(os.environ)
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--control-worker",
+         str(processes), str(target_docs)],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=1800,
+    )
+    for line in reversed(out.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except json.JSONDecodeError:
+            continue
+    raise RuntimeError(f"control worker failed: {out.stderr[-2000:]}")
+
+
 def _run_worker_once(parallelism: int, target_docs: int) -> dict:
     env = dict(os.environ)
     out = subprocess.run(
@@ -189,6 +260,9 @@ def main() -> None:
         _worker(int(sys.argv[2]),
                 int(sys.argv[3]) if len(sys.argv) >= 4 else None)
         return
+    if len(sys.argv) >= 4 and sys.argv[1] == "--control-worker":
+        _control_worker(int(sys.argv[2]), int(sys.argv[3]))
+        return
 
     # Two N→4N pairs on the SAME input per pair (the north rule's
     # two-cluster-size criterion): 2→8 at 30k docs (below the host's
@@ -204,6 +278,14 @@ def main() -> None:
     high = _run_worker(CPUS, pair_hi_docs)
     efficiency = (high["docs_per_sec"] / low_b["docs_per_sec"]) / (CPUS / 8)
     efficiency_2_8 = (low_a["docs_per_sec"] / n2["docs_per_sec"]) / 4.0
+
+    # No-Spark control at the same two parallelism levels: attests that
+    # the 8→32 ceiling is shared-host memory bandwidth (the control has
+    # no JVM, no shuffle, no Arrow — just Python processes on the same
+    # kernel), machine-checkable instead of narrated in BASELINE.md.
+    c8 = _run_control(8, pair_lo_docs)
+    chi = _run_control(CPUS, pair_lo_docs)
+    control_eff = (chi["docs_per_sec"] / c8["docs_per_sec"]) / (CPUS / 8)
 
     queries = _time_queries()
     realpage = _realpage_throughput()
@@ -224,6 +306,9 @@ def main() -> None:
             f"local[{CPUS}]_docs_per_sec": round(high["docs_per_sec"], 1),
             "efficiency_2_to_8": round(efficiency_2_8, 3),
             "efficiency_8_to_32": round(efficiency, 3),
+            "control_8_docs_per_sec": round(c8["docs_per_sec"], 1),
+            f"control_{CPUS}_docs_per_sec": round(chi["docs_per_sec"], 1),
+            "control_8_to_32": round(control_eff, 3),
         },
     }
     if realpage:

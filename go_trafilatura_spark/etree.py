@@ -1069,18 +1069,27 @@ def _fast_feed(text: str, builder: "_TreeBuilder") -> None:
                 continue
             if text[lt + 2:lt + 3] == "[":
                 # marked section (stdlib parse_marked_section): standard
-                # sections close at "]]>", MS conditionals at "]>";
-                # unknown section names abort the feed (the stdlib
-                # raises there and parse_html keeps the partial tree)
+                # sections close at "]]>", MS conditionals at "]>".
+                # A section head cut off by EOF ("<![", "<![CDATA") is
+                # *incomplete* — the stdlib flushes it as literal data at
+                # close(). A head whose next char is definitively not a
+                # name char ("<![/junk>", "<![ if ...") makes the stdlib
+                # RAISE, so parse_html keeps the partial tree — the fast
+                # path must abort the feed there too, not keep parsing.
                 secm = _RX_SECT_NAME.match(text, lt + 3)
-                sect = secm.group(0).lower() if secm else ""
+                if secm is None:
+                    if lt + 3 >= n:
+                        i = incomplete(lt)
+                        continue
+                    return
+                if secm.end() >= n:
+                    i = incomplete(lt)
+                    continue
+                sect = secm.group(0).lower()
                 if sect in _MS_SECTS:
                     endm = _RX_MS_SECT_CLOSE.search(text, lt + 3)
                 elif sect in _STD_SECTS:
                     endm = _RX_SECT_CLOSE.search(text, lt + 3)
-                elif secm is None:
-                    i = incomplete(lt)
-                    continue
                 else:
                     return
                 if endm is None:

@@ -1091,7 +1091,7 @@ def extract_date_fast(doc: Element, url: str, extensive: bool = False) -> str:
             date = _parse_date_string(m.group(1))
             if date:
                 return date
-        # 9. Whole-document frequency pick, earliest on ties
+        # 10. Whole-document frequency pick, earliest on ties
         # (original-date preference).
         found = _scan_all_dates(whole)
         if found:

@@ -79,7 +79,16 @@ def salted_repartition(df: DataFrame, num_partitions: int | None = None) -> Data
     return df.repartition(int(n), F.xxhash64(F.col("url")))
 
 
-def salted_host_agg(pages: DataFrame, agg_exprs: list | None = None,
+# Scheme-agnostic host extraction: any scheme (http, https, ftp, ...),
+# optional userinfo, stop at port/path/query/fragment. The pattern is
+# RE2-compatible and runs identically in Spark and DuckDB (the oracle
+# uses the same literal) — a https-only pattern would map every http://
+# url to host "", creating the exact giant skewed key the salted
+# aggregation exists to defeat.
+HOST_REGEX = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)"
+
+
+def salted_host_agg(pages: DataFrame,
                     salt_buckets: int = SALT_BUCKETS) -> DataFrame:
     """Skew-safe per-host aggregation: the host key IS hot (Zipf hosts —
     one host can be 10% of a crawl), so aggregate in two stages:
@@ -89,7 +98,7 @@ def salted_host_agg(pages: DataFrame, agg_exprs: list | None = None,
     stage one and the final shuffle carries ≤ salt_buckets rows per
     host. This is the real skew story behind the north rule's
     "repartitioning by url-hash salted against skewed hosts"."""
-    host = F.regexp_extract("url", "https://([^/]+)/", 1).alias("host")
+    host = F.regexp_extract("url", HOST_REGEX, 1).alias("host")
     salt = F.pmod(F.xxhash64("url"), F.lit(salt_buckets)).cast("int").alias("salt")
     partial = (
         pages.select(host, salt, F.length("html").cast("bigint").alias("html_len"))
@@ -221,25 +230,36 @@ def extract_pages_resumable(
     except Exception:
         pass  # no manifest yet
 
+    if len(done_buckets) >= num_partitions:
+        return spark.read.parquet(output_path)  # nothing left to do
+
     todo = df.where(~F.col("bucket").isin(sorted(done_buckets))) if done_buckets else df
 
     result = extract_pages(todo.drop("bucket"), options, num_partitions)
     result = result.withColumn(
         "bucket", F.pmod(F.xxhash64("url"), F.lit(num_partitions)).cast("int")
     )
+
+    # Per-bucket row counts are collected ON the write pass with
+    # df.observe() — no readback scan of the output at all (round-2
+    # partition-pruned the readback to new buckets; this removes it
+    # entirely: at 100 TB of output the manifest costs zero extra IO).
+    from pyspark.sql import Observation
+
+    todo_buckets = sorted(set(range(num_partitions)) - done_buckets)
+    obs = Observation("bucket_counts")
+    count_exprs = [
+        F.sum(F.when(F.col("bucket") == b, 1).otherwise(0)).alias(f"b{b}")
+        for b in todo_buckets
+    ]
+    result = result.observe(obs, *count_exprs)
     result.write.mode("append").partitionBy("bucket").parquet(output_path)
 
-    # Commit manifest rows for the buckets that just completed. The
-    # readback is partition-pruned to ONLY the new buckets (bucket is
-    # the partition column), so a resume never rescans previously
-    # committed output — at 100 TB of output the extra read is bounded
-    # by this run's increment.
-    todo_buckets = sorted(set(range(num_partitions)) - done_buckets)
-    out_new = spark.read.parquet(output_path).where(F.col("bucket").isin(todo_buckets))
-    counts = out_new.groupBy("bucket").agg(F.count("*").alias("row_count"))
-    counts.withColumn("input_path", F.lit(input_path)).write.mode(
-        "append"
-    ).parquet(mpath)
+    observed = obs.get
+    rows = [(b, int(observed[f"b{b}"] or 0)) for b in todo_buckets]
+    spark.createDataFrame(rows, "bucket INT, row_count BIGINT").withColumn(
+        "input_path", F.lit(input_path)
+    ).write.mode("append").parquet(mpath)
 
     return spark.read.parquet(output_path)
 

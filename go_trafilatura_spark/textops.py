@@ -167,10 +167,22 @@ def minhash_signatures(df: DataFrame, k_shingle: int = 3) -> DataFrame:
     return hashed.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_pairs(df: DataFrame, k_shingle: int = 3) -> DataFrame:
+def minhash_lsh_pairs(df: DataFrame, k_shingle: int = 3,
+                      max_band_df: int = 100) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding (2 bands × 2 rows):
     docs agreeing on a full band are candidates. Equi-join on band keys —
-    no O(n²) comparison ever materializes."""
+    no O(n²) comparison ever materializes.
+
+    Hot-band guard (the same frequency cap as ngram_jaccard's max_df):
+    a degenerate band key shared by thousands of docs (empty pages,
+    boilerplate-identical shells) would put |group|² rows through the
+    self-join — AQE's skew-join splits such a bucket but cannot cap it.
+    Band keys with more than ``max_band_df`` members are excluded from
+    the candidate join entirely (broadcast anti-join against the tiny
+    hot-key set, so the guard itself adds no shuffle on the big side).
+    Groups that large are exact/near-exact duplicate families, which the
+    much cheaper exact_dedup_flags / fingerprint pass already handles —
+    LSH exists to find the *sparse* near-duplicate pairs."""
     sigs = minhash_signatures(df, k_shingle)
     bands = sigs.select(
         "doc_id",
@@ -179,8 +191,16 @@ def minhash_lsh_pairs(df: DataFrame, k_shingle: int = 3) -> DataFrame:
     )
     pairs = None
     for band in ("band0", "band1"):
-        a = bands.select(F.col("doc_id").alias("doc_a"), F.col(band).alias("key"))
-        b = bands.select(F.col("doc_id").alias("doc_b"), F.col(band).alias("key"))
+        keyed = bands.select(F.col("doc_id").alias("doc_id"), F.col(band).alias("key"))
+        hot = (
+            keyed.groupBy("key")
+            .agg(F.count("*").alias("band_df"))
+            .where(F.col("band_df") > max_band_df)
+            .select("key")
+        )
+        kept = keyed.join(F.broadcast(hot), "key", "left_anti")
+        a = kept.select(F.col("doc_id").alias("doc_a"), "key")
+        b = kept.select(F.col("doc_id").alias("doc_b"), "key")
         p = a.join(b, "key").where(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
         pairs = p if pairs is None else pairs.unionByName(p)
     return pairs.distinct()
@@ -221,6 +241,12 @@ def dedup_clusters(df: DataFrame, k_shingle: int = 3, max_iter: int = 15) -> Dat
                 ).alias("cluster_id"),
             )
         )
+        # Materialize BEFORE the convergence probe: localCheckpoint both
+        # truncates lineage and caches the iteration's result, so the
+        # probe's count() and the next iteration's join read the same
+        # materialized frame instead of re-executing the propagation
+        # join twice per loop.
+        new_labels = new_labels.localCheckpoint()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
@@ -231,7 +257,6 @@ def dedup_clusters(df: DataFrame, k_shingle: int = 3, max_iter: int = 15) -> Dat
         labels = new_labels
         if changed == 0:
             break
-        labels = labels.localCheckpoint() if hasattr(labels, "localCheckpoint") else labels
 
     return labels.select(
         "doc_id", "cluster_id",

@@ -61,6 +61,17 @@ CONSTRUCTS = [
     b"<style>.a { content: '</div>' }</style><p>x</p>",
     b"<p>quoted gt <a title='a>b'>in attr</a></p>",
     b"<SCRIPT>UPPER case rawtext</SCRIPT><p>x</p>",
+    # marked-section heads: non-name head aborts the feed (stdlib
+    # raises → partial tree); EOF-truncated heads flush as data
+    b"<p>a</p><![/junk>trailing<p>b</p>",
+    b"<![/junk>",
+    b"<p>a<![ if foo]>b",
+    b"<p>x</p><![%",
+    b"<p>x</p><![",
+    b"<p>x</p><![c",
+    b"<p>x</p><![CDATA",
+    b"<p>x</p><![junkkk",
+    b"<p>a</p><![junk>tr<p>b</p>",
 ]
 
 

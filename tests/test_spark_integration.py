@@ -343,6 +343,46 @@ def test_multimodal_plumbing(spark):
         assert 0.0 <= r["rms"] <= 1.0 and 0.0 <= r["peak"] <= 1.0
 
 
+def test_lsh_hot_band_cap(spark):
+    """A degenerate band (many boilerplate-identical docs) must not fan
+    out quadratically: with the frequency cap, the hot family yields no
+    LSH pairs while a sparse near-dup pair still surfaces."""
+    from go_trafilatura_spark import textops
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    rows = [(i, "empty boilerplate shell page nothing here " * 4, "en")
+            for i in range(100, 120)]          # 20 identical docs, one band
+    rows += [(1, base, "en"), (2, base + "lambda", "en")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    pairs = {(r.doc_a, r.doc_b)
+             for r in textops.minhash_lsh_pairs(df, max_band_df=5).collect()}
+    assert (1, 2) in pairs
+    assert not any(a >= 100 for a, _ in pairs), pairs  # hot family capped
+
+    # without the cap the degenerate family explodes into C(20,2) pairs
+    uncapped = textops.minhash_lsh_pairs(df, max_band_df=10_000).count()
+    assert uncapped == len(pairs) + 190
+
+
+def test_salted_host_agg_mixed_schemes(spark):
+    """Host parsing is scheme-agnostic: http/https/ftp, userinfo and
+    ports all map to the real host, never to a degenerate '' key."""
+    from go_trafilatura_spark.pipeline import salted_host_agg
+
+    urls = [
+        "https://a.example.com/x", "http://a.example.com/y",
+        "http://b.example.com/z", "ftp://b.example.com/w",
+        "https://user:pw@b.example.com/v", "http://c.example.com:8080/u",
+    ]
+    pages = spark.createDataFrame(
+        [(u, bytearray(b"<html></html>")) for u in urls],
+        "url string, html binary",
+    )
+    rows = {r["host"]: r["n_pages"] for r in salted_host_agg(pages).collect()}
+    assert rows == {"a.example.com": 2, "b.example.com": 3, "c.example.com": 1}
+
+
 def test_dedup_clusters_chain(spark):
     """Connected components: a chained near-dup family (A~B, B~C) must
     collapse to one cluster with the smallest doc_id canonical."""
