@@ -109,7 +109,8 @@ def extract_document(doc: Element, options: Options, owns_doc: bool = False) -> 
         comments_body, tmp_comments = extract_comments(doc, cache, options)
         len_comments = len(tmp_comments)
     elif options.focus == FAVOR_PRECISION:
-        doc = prune_unwanted_nodes(doc, selectors.REMOVED_COMMENTS)
+        # `doc` is our private working copy at this point — prune in place
+        doc = prune_unwanted_nodes(doc, selectors.REMOVED_COMMENTS, in_place=True)
 
     # Content
     post_body, tmp_body_text = extract_content(doc, cache, options)

@@ -793,23 +793,27 @@ class _TreeBuilder(HTMLParser):
                     return
         self._append_text(data, parent)
 
+    _AUTOCLOSE_MAP = {
+        "tr": (("tr",), ("table",)),
+        "td": (("td", "th"), ("table", "tr")),
+        "th": (("td", "th"), ("table", "tr")),
+        "li": (("li",), ("ul", "ol", "table")),
+        "dd": (("dd", "dt"), ("dl", "table")),
+        "dt": (("dd", "dt"), ("dl", "table")),
+        "option": (("option",), ("select", "table")),
+        "optgroup": (("optgroup",), ("select", "table")),
+        "thead": (("thead", "tbody", "tfoot"), ("table",)),
+        "tbody": (("thead", "tbody", "tfoot"), ("table",)),
+        "tfoot": (("thead", "tbody", "tfoot"), ("table",)),
+    }
+    _P_STOPS = tuple(_SCOPE_BARRIERS)
+
     def _autoclose(self, tag: str) -> None:
         if tag in _P_CLOSERS:
-            self._close_upto(("p",), tuple(_SCOPE_BARRIERS))
-        if tag == "tr":
-            self._close_upto(("tr",), ("table",))
-        elif tag in ("td", "th"):
-            self._close_upto(("td", "th"), ("table", "tr"))
-        elif tag == "li":
-            self._close_upto(("li",), ("ul", "ol", "table"))
-        elif tag in ("dd", "dt"):
-            self._close_upto(("dd", "dt"), ("dl", "table"))
-        elif tag == "option":
-            self._close_upto(("option",), ("select", "table"))
-        elif tag == "optgroup":
-            self._close_upto(("optgroup",), ("select", "table"))
-        elif tag in ("thead", "tbody", "tfoot"):
-            self._close_upto(("thead", "tbody", "tfoot"), ("table",))
+            self._close_upto(("p",), self._P_STOPS)
+        spec = self._AUTOCLOSE_MAP.get(tag)
+        if spec is not None:
+            self._close_upto(spec[0], spec[1])
 
     # -- HTMLParser callbacks ----------------------------------------------
     def handle_starttag(self, tag: str, attrs) -> None:

@@ -39,7 +39,8 @@ def compare_external_extraction(
 
     cleaned_doc = etree.clone(original_doc, True)
     if options.focus == FAVOR_PRECISION:
-        cleaned_doc = prune_unwanted_nodes(cleaned_doc, selectors.OVERALL_DISCARDED_CONTENT)
+        cleaned_doc = prune_unwanted_nodes(
+            cleaned_doc, selectors.OVERALL_DISCARDED_CONTENT, in_place=True)
 
     for candidate_doc in _candidates(cleaned_doc, options):
         if candidate_doc is None:

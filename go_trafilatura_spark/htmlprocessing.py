@@ -108,16 +108,28 @@ def prune_html(doc: Element, options) -> None:
                 etree.remove(el, keep_tail)
 
 
-def prune_unwanted_nodes(tree: Element, rules, with_backup: bool = False) -> Element:
+def prune_unwanted_nodes(tree: Element, rules, with_backup: bool = False,
+                         in_place: bool = False) -> Element:
     """html-processing.go:141-188 — clone, remove matching nodes (keeping
     their tail text attached to the previous node), optionally revert if
-    more than 6/7 of the text disappeared."""
-    tree = etree.clone(tree, True)
+    more than 6/7 of the text disappeared.
+
+    ``in_place=True`` skips the defensive input clone for call sites
+    that rebind the result and never touch the input again (the chained
+    prunes in prune_unwanted_sections, the precision pre-prunes) — pure
+    allocation savings, observationally identical."""
+    original = tree
     backup = None
     old_len = 0
     if with_backup:
-        backup = etree.clone(tree, True)
+        # The un-pruned input IS the backup; a second clone is taken
+        # only when mutating in place (revert re-clones the original in
+        # the rare >6/7-loss case instead of paying a clone every call).
         old_len = len(etree.text_content(tree))
+        if in_place:
+            backup = etree.clone(tree, True)
+    if not in_place:
+        tree = etree.clone(tree, True)
 
     for rule in rules:
         sub_elements = selectors.query_all(tree, rule)
@@ -144,7 +156,7 @@ def prune_unwanted_nodes(tree: Element, rules, with_backup: bool = False) -> Ele
     if with_backup:
         new_len = len(etree.text_content(tree))
         if new_len <= old_len // 7:
-            return backup
+            return backup if in_place else etree.clone(original, True)
     return tree
 
 
@@ -384,15 +396,19 @@ def prune_unwanted_sections(subtree: Element, potential_tags: set, options) -> E
     link-density deletion passes."""
     from .settings import SET_HEAD_TAGS, HEAD_TAGS
 
+    # First prune clones (the caller's subtree is still attached to the
+    # document, which later rules re-query); the chained prunes below
+    # own their input and mutate in place.
     subtree = prune_unwanted_nodes(subtree, selectors.OVERALL_DISCARDED_CONTENT, True)
 
     if not options.include_images:
-        subtree = prune_unwanted_nodes(subtree, selectors.DISCARDED_IMAGE)
+        subtree = prune_unwanted_nodes(subtree, selectors.DISCARDED_IMAGE, in_place=True)
 
     if options.focus != FAVOR_RECALL:
-        subtree = prune_unwanted_nodes(subtree, selectors.DISCARDED_TEASER)
+        subtree = prune_unwanted_nodes(subtree, selectors.DISCARDED_TEASER, in_place=True)
         if options.focus == FAVOR_PRECISION:
-            subtree = prune_unwanted_nodes(subtree, selectors.PRECISION_DISCARDED_CONTENT)
+            subtree = prune_unwanted_nodes(
+                subtree, selectors.PRECISION_DISCARDED_CONTENT, in_place=True)
 
     for _ in range(2):
         delete_by_link_density(subtree, options, True, "div")

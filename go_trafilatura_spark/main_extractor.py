@@ -475,8 +475,14 @@ def recover_wild_text(doc: Element, result_body: Element, potential_tags: set, c
 
 
 def extract_content(doc: Element, cache, options) -> tuple[Element, str]:
-    """main-extractor.go:666-788 — the main content driver."""
-    backup_doc = etree.clone(doc, True)
+    """main-extractor.go:666-788 — the main content driver.
+
+    The reference snapshots backupDoc upfront; here the rule loop is
+    provably non-mutating on ``doc`` (prune_unwanted_sections clones the
+    matched subtree before any mutation, and every handler operates on
+    that clone), so recover_wild_text reads ``doc`` directly — clone
+    elision only, no semantic change (pinned by the fixture byte-parity
+    hashes)."""
     result_body = etree.new_element("body")
 
     potential_tags = set(TAG_CATALOG)
@@ -539,7 +545,7 @@ def extract_content(doc: Element, cache, options) -> tuple[Element, str]:
 
     if not etree.children_of(result_body) or len(tmp_text) < options.config.min_extracted_size:
         result_body = etree.new_element("body")
-        recover_wild_text(backup_doc, result_body, potential_tags, cache, options)
+        recover_wild_text(doc, result_body, potential_tags, cache, options)
         tmp_text = trim(etree.iter_text(result_body, " "))
 
     etree.strip_elements(result_body, False, "done")

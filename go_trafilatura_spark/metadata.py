@@ -651,18 +651,18 @@ def examine_title_element(doc: Element) -> tuple[str, str, str]:
     return title, first, second
 
 
-def extract_dom_meta_selectors(doc: Element, limit: int, rules) -> str:
+def extract_dom_meta_selectors(doc: Element, limit: int, rules, index=None) -> str:
     """metadata.go:626-640."""
-    elements = etree.get_elements_by_tag(doc, "*")
     for rule in rules:
-        for node in selectors.query_all(doc, rule, elements):
+        cands = index.candidates(rule) if index is not None else None
+        for node in selectors.query_all(doc, rule, cands):
             text = trim(etree.iter_text(node, " "))
             if 2 < len(text) < limit:
                 return text
     return ""
 
 
-def extract_dom_title(doc: Element) -> str:
+def extract_dom_title(doc: Element, index=None) -> str:
     """metadata.go:445-487."""
     h1_nodes = etree.get_elements_by_tag(doc, "h1")
     if len(h1_nodes) == 1:
@@ -670,7 +670,7 @@ def extract_dom_title(doc: Element) -> str:
         if title:
             return title
 
-    title = extract_dom_meta_selectors(doc, 200, selectors.META_TITLE)
+    title = extract_dom_meta_selectors(doc, 200, selectors.META_TITLE, index)
     if title:
         return title
 
@@ -690,12 +690,49 @@ def extract_dom_title(doc: Element) -> str:
     return ""
 
 
-def extract_dom_author(doc: Element) -> str:
-    """metadata.go:490-500."""
-    pruned = prune_unwanted_nodes(doc, selectors.META_AUTHOR_DISCARD)
-    author = extract_dom_meta_selectors(pruned, 120, selectors.META_AUTHOR)
-    if author:
-        return normalize_authors("", author)
+def _is_under(node: Element, root: Element) -> bool:
+    p = node.parent
+    while p is not None:
+        if p is root:
+            return True
+        p = p.parent
+    return False
+
+
+def extract_dom_author(doc: Element, index=None) -> str:
+    """metadata.go:490-500. Observationally identical to the reference's
+    prune-a-full-clone shape, but prunes only the matched candidate's
+    subtree: META_AUTHOR_DISCARD rules are per-element predicates, so
+    (a) a candidate inside a discarded subtree simply doesn't exist in
+    the pruned document — skipped via an ancestor check; (b) a
+    candidate whose own subtree holds discard matches reads its text
+    from a pruned clone of just that subtree (tail reattachment inside
+    the subtree is identical, and both iter_text and clone exclude the
+    root's tail, so the bytes match the document-wide prune)."""
+    discards: list[Element] = []
+    for rule in selectors.META_AUTHOR_DISCARD:
+        cands = index.candidates(rule) if index is not None else None
+        discards.extend(selectors.query_all(doc, rule, cands))
+    discard_ids = {id(d) for d in discards}
+
+    for rule in selectors.META_AUTHOR:
+        cands = index.candidates(rule) if index is not None else None
+        for node in selectors.query_all(doc, rule, cands):
+            skip = False
+            anc = node
+            while anc is not None:
+                if id(anc) in discard_ids:
+                    skip = True
+                    break
+                anc = anc.parent
+            if skip:
+                continue
+            sub = node
+            if discards and any(_is_under(d, node) for d in discards):
+                sub = prune_unwanted_nodes(node, selectors.META_AUTHOR_DISCARD)
+            text = trim(etree.iter_text(sub, " "))
+            if 2 < len(text) < 120:
+                return normalize_authors("", text)
     return ""
 
 
@@ -737,12 +774,15 @@ def extract_dom_sitename(doc: Element) -> str:
     return ""
 
 
-def extract_dom_categories(doc: Element) -> list[str]:
+def extract_dom_categories(doc: Element, index=None) -> list[str]:
     """metadata.go:555-589."""
     categories: list[str] = []
-    elements = etree.get_elements_by_tag(doc, "*")
     for rule in selectors.META_CATEGORIES:
-        for node in selectors.query_all(doc, rule, elements):
+        if index is not None:
+            matches = selectors.anchors_by_ancestor(index, rule)
+        else:
+            matches = selectors.query_all(doc, rule)
+        for node in matches:
             href = trim(node.get("href"))
             if href and RX_CATEGORY_HREF.search(href):
                 text = trim(etree.text_content(node))
@@ -761,12 +801,15 @@ def extract_dom_categories(doc: Element) -> list[str]:
     return uniquify_lists(*categories)
 
 
-def extract_dom_tags(doc: Element) -> list[str]:
+def extract_dom_tags(doc: Element, index=None) -> list[str]:
     """metadata.go:592-612."""
     tags: list[str] = []
-    elements = etree.get_elements_by_tag(doc, "*")
     for rule in selectors.META_TAGS:
-        for node in selectors.query_all(doc, rule, elements):
+        if index is not None:
+            matches = selectors.anchors_by_ancestor(index, rule)
+        else:
+            matches = selectors.query_all(doc, rule)
+        for node in matches:
             href = trim(node.get("href"))
             if href and RX_TAG_HREF.search(href):
                 text = trim(etree.text_content(node))
@@ -811,16 +854,44 @@ def parse_license_element(node: Element, strict: bool) -> str:
     return ""
 
 
-def extract_license(doc: Element) -> str:
-    """metadata.go:643-660."""
-    for a in css.query_all(doc, _LICENSE_REL_SELECTOR):
-        result = parse_license_element(a, False)
-        if result:
-            return result
-    for node in css.query_all(doc, _LICENSE_FOOTER_SELECTOR):
-        result = parse_license_element(node, True)
-        if result:
-            return result
+def extract_license(doc: Element, index=None) -> str:
+    """metadata.go:643-660. The 'footer a[href]' descendant query is
+    inverted: footer containers are few, so collect them first and walk
+    each <a href>'s ancestor chain against that id-set — identical
+    match set and document order to the CSS query at ~10x less work on
+    link-heavy pages."""
+    a_nodes = (
+        index.of_tag("a") if index is not None
+        else etree.get_elements_by_tag(doc, "a")
+    )
+    for a in a_nodes:
+        if a.get("rel") == "license" and "href" in a.attrib:
+            result = parse_license_element(a, False)
+            if result:
+                return result
+
+    footers = set()
+    footer_nodes = (
+        index.of_tag("footer") + index.of_tag("div") if index is not None
+        else etree.get_elements_by_tag(doc, "footer")
+        + etree.get_elements_by_tag(doc, "div")
+    )
+    for el in footer_nodes:
+        if el.tag == "footer" or "footer" in el.get("class") or "footer" in el.get("id"):
+            footers.add(id(el))
+    if not footers:
+        return ""
+    for a in a_nodes:
+        if "href" not in a.attrib:
+            continue
+        anc = a.parent
+        while anc is not None:
+            if id(anc) in footers:
+                result = parse_license_element(a, True)
+                if result:
+                    return result
+                break
+            anc = anc.parent
     return ""
 
 
@@ -1115,11 +1186,20 @@ def extract_metadata(doc: Element, options) -> Metadata:
     metadata = extract_json_ld(options, doc, metadata)
     metadata.author = remove_blacklisted_authors(metadata.author, options)
 
+    # One lazily-built doc-order tag index shared by every DOM selector
+    # scan below (the tree is not mutated between them).
+    _index: list = []
+
+    def idx():
+        if not _index:
+            _index.append(selectors.TagIndex(doc))
+        return _index[0]
+
     if metadata.title == "":
-        metadata.title = extract_dom_title(doc)
+        metadata.title = extract_dom_title(doc, idx())
 
     if metadata.author == "":
-        metadata.author = extract_dom_author(doc)
+        metadata.author = extract_dom_author(doc, idx())
         metadata.author = remove_blacklisted_authors(metadata.author, options)
 
     if metadata.url == "":
@@ -1169,15 +1249,15 @@ def extract_metadata(doc: Element, options) -> Metadata:
             metadata.sitename = m.group(1)
 
     if not metadata.categories:
-        metadata.categories = extract_dom_categories(doc)
+        metadata.categories = extract_dom_categories(doc, idx())
     if metadata.categories:
         metadata.categories = clean_cat_tags(metadata.categories)
 
     if not metadata.tags:
-        metadata.tags = extract_dom_tags(doc)
+        metadata.tags = extract_dom_tags(doc, idx())
     if metadata.tags:
         metadata.tags = clean_cat_tags(metadata.tags)
 
-    metadata.license = extract_license(doc)
+    metadata.license = extract_license(doc, idx())
 
     return metadata

@@ -9,13 +9,32 @@ discards, comments-discard.go, comments-removed.go, meta-*.go).
 
 from __future__ import annotations
 
-from .etree import Element, get_elements_by_tag
+from .etree import Element, _collect_tags, get_elements_by_tag
+
+
+def _rule_candidates(root: Element, rule) -> list[Element]:
+    """Tag-filtered candidate scan: rules declare the tags they can
+    match (``rule.tags``), so the traversal only surfaces those —
+    one doc-order walk with an inline tag check instead of a predicate
+    call per element (the predicate's own tag guard made ~95% of calls
+    trivially-false; this removes the calls entirely). Rules that can
+    only match an element carrying at least one attribute declare
+    ``needs_attrs`` and skip bare elements too."""
+    tags = getattr(rule, "tags", None)
+    if tags is None:
+        out = get_elements_by_tag(root, "*")
+    else:
+        out = []
+        _collect_tags(root, tags, out)
+    if getattr(rule, "needs_attrs", False):
+        return [el for el in out if el.attrib]
+    return out
 
 
 def query(root: Element, rule) -> Element | None:
     """First matching descendant in document order
     (internal/selector/selector.go:31-38)."""
-    for el in get_elements_by_tag(root, "*"):
+    for el in _rule_candidates(root, rule):
         if rule(el):
             return el
     return None
@@ -25,8 +44,44 @@ def query_all(root: Element, rule, elements: list | None = None) -> list[Element
     """``elements`` lets callers trying several rules against an
     UNCHANGED tree hoist the full traversal out of the rule loop."""
     if elements is None:
-        elements = get_elements_by_tag(root, "*")
+        elements = _rule_candidates(root, rule)
     return [el for el in elements if rule(el)]
+
+
+class TagIndex:
+    """One doc-order traversal shared by every rule application against
+    an UNCHANGED tree. ``candidates(rule)`` returns the doc-ordered
+    descendants a rule can match, via its declared ``tags``."""
+
+    __slots__ = ("elements", "_by_tag")
+
+    def __init__(self, root: Element):
+        self.elements: list[Element] = get_elements_by_tag(root, "*")
+        by: dict[str, list[int]] = {}
+        for i, el in enumerate(self.elements):
+            by.setdefault(el.tag, []).append(i)
+        self._by_tag = by
+
+    def candidates(self, rule) -> list[Element]:
+        tags = getattr(rule, "tags", None)
+        if tags is None:
+            out = self.elements
+        else:
+            lists = [l for t in tags if (l := self._by_tag.get(t))]
+            if not lists:
+                return []
+            els = self.elements
+            if len(lists) == 1:
+                out = [els[i] for i in lists[0]]
+            else:
+                out = [els[i] for i in sorted(i for l in lists for i in l)]
+        if getattr(rule, "needs_attrs", False):
+            return [el for el in out if el.attrib]
+        return out
+
+    def of_tag(self, tag: str) -> list[Element]:
+        els = self.elements
+        return [els[i] for i in self._by_tag.get(tag, ())]
 
 
 def _idc(el: Element):
@@ -565,3 +620,133 @@ def removed_comments_rule(n: Element) -> bool:
 
 
 REMOVED_COMMENTS = [removed_comments_rule]
+
+
+# ---------------------------------------------------------------------------
+# Tag declarations: each rule's opening tag guard, hoisted so the
+# traversal can pre-filter (see _rule_candidates / TagIndex). A rule with
+# no tag guard carries no declaration and scans every element.
+# ---------------------------------------------------------------------------
+
+_CONTENT_TAGSET = frozenset(_CONTENT_TAGS)
+content_rule_1.tags = _CONTENT_TAGSET
+content_rule_2.tags = frozenset(("article",))
+content_rule_3.tags = _CONTENT_TAGSET
+content_rule_4.tags = _CONTENT_TAGSET
+content_rule_5.tags = frozenset(("main", "article", "div", "section"))
+
+overall_discarded_rule_1.tags = _DISCARD_TAGS
+precision_discarded_rule_1.tags = frozenset(("header",))
+precision_discarded_rule_2.tags = _DISCARD_TAGS
+discarded_teaser_rule.tags = _DISCARD_TAGS
+discarded_image_rule.tags = _DISCARD_TAGS
+
+comments_rule_1.tags = _COMMENTS_TAGS
+comments_rule_2.tags = _COMMENTS_TAGS
+comments_rule_3.tags = _COMMENTS_TAGS
+comments_rule_4.tags = frozenset(("div", "section"))
+discarded_comments_rule_1.tags = frozenset(("div", "section"))
+discarded_comments_rule_2.tags = frozenset(("cite", "quote"))
+removed_comments_rule.tags = _COMMENTS_TAGS
+
+meta_title_rule_1.tags = frozenset(("h1", "h2"))
+meta_title_rule_3.tags = frozenset(("h1", "h2", "h3"))
+meta_author_rule_1.tags = frozenset(
+    ("author", "a", "address", "div", "link", "p", "span", "strong")
+)
+meta_author_rule_2.tags = frozenset(("a", "div", "h3", "h4", "p", "span"))
+meta_author_discard_rule_1.tags = frozenset(("a", "div", "section", "span"))
+meta_author_discard_rule_2.tags = frozenset(("time", "figure"))
+for _r in META_CATEGORIES + META_TAGS:
+    _r.tags = frozenset(("a",))
+del _r
+
+# needs_attrs: the rule can only match an element carrying >=1 attribute
+# (every condition reads id/class/style/rel/itemprop/...). Rules that
+# match on tag alone (article, main, header, cite/quote, time/figure,
+# the author tag in meta_author_rule_1) are deliberately absent.
+for _r in (
+    content_rule_1, content_rule_3, content_rule_4,
+    overall_discarded_rule_1, overall_discarded_rule_2,
+    precision_discarded_rule_2, discarded_teaser_rule, discarded_image_rule,
+    comments_rule_1, comments_rule_2, comments_rule_3, comments_rule_4,
+    discarded_comments_rule_1, discarded_comments_rule_3,
+    removed_comments_rule,
+    meta_title_rule_1, meta_title_rule_2, meta_title_rule_3,
+    meta_author_rule_2, meta_author_rule_3, meta_author_discard_rule_1,
+):
+    _r.needs_attrs = True
+for _r in META_CATEGORIES + META_TAGS:
+    _r.needs_attrs = True
+del _r
+
+
+# ---------------------------------------------------------------------------
+# Inverted evaluation for the "a[href] under container X" meta rules:
+# each rule's ancestor test, restated as (container_tags, container_pred).
+# Containers are rare, anchors are plentiful — finding containers first
+# and walking each anchor's parent chain against that id-set yields the
+# identical match set in identical document order at a fraction of the
+# work (and zero work on the common no-container page).
+# ---------------------------------------------------------------------------
+
+meta_categories_rule_1.containers = (("div",), lambda el: (
+    el.get("class").startswith(
+        ("post-info", "postinfo", "post-meta", "postmeta", "meta",
+         "entry-meta", "entry-info", "entry-utility")
+    ) or el.get("id").startswith("postpath")
+))
+meta_categories_rule_2.containers = (("p",), lambda el: (
+    el.get("class").startswith(("postmeta", "entry-categories"))
+    or el.get("class") == "postinfo" or el.get("id") == "filedunder"
+))
+meta_categories_rule_3.containers = (("footer",), lambda el:
+    el.get("class").startswith(("entry-meta", "entry-footer")))
+meta_categories_rule_4.containers = (("li", "span"), lambda el: (
+    el.get("class") in ("post-category", "postcategory", "entry-category")
+    or "cat-links" in el.get("class")
+))
+meta_categories_rule_5.containers = (("header",), lambda el:
+    el.get("class") == "entry-header")
+meta_categories_rule_6.containers = (("div",), lambda el:
+    el.get("class") in ("row", "tags"))
+meta_tags_rule_1.containers = (("div",), lambda el: el.get("class") == "tags")
+meta_tags_rule_2.containers = (("p",), lambda el:
+    el.get("class").startswith("entry-tags"))
+meta_tags_rule_3.containers = (("div",), lambda el: (
+    el.get("class") in ("row", "jp-relatedposts", "entry-utility")
+    or el.get("class").startswith(("tag", "postmeta", "meta"))
+))
+meta_tags_rule_4.containers = (None, lambda el: (
+    el.get("class") == "entry-meta" or "topics" in el.get("class")
+    or "tags-links" in el.get("class")
+))
+
+
+def anchors_by_ancestor(index: "TagIndex", rule) -> list[Element] | None:
+    """Evaluate an a[href]-under-container rule through its inverted
+    ``containers`` spec; None when the rule carries no spec."""
+    spec = getattr(rule, "containers", None)
+    if spec is None:
+        return None
+    tags, pred = spec
+    ids = set()
+    pool = index.elements if tags is None else [
+        el for t in tags for el in index.of_tag(t)
+    ]
+    for el in pool:
+        if el.attrib and pred(el):
+            ids.add(id(el))
+    if not ids:
+        return []
+    out = []
+    for a in index.of_tag("a"):
+        if "href" not in a.attrib:
+            continue
+        anc = a.parent
+        while anc is not None:
+            if id(anc) in ids:
+                out.append(a)
+                break
+            anc = anc.parent
+    return out
