@@ -567,6 +567,45 @@ class _FmtEntry:
 
 _AFE_MARKER = object()
 
+# Per-tag behaviour flag bits (see _TreeBuilder.handle_starttag).
+_F_TOPLEVEL = 1        # html / head / body
+_F_HEADISH = 2         # head-only tags + raw-text head machinery
+_F_RAWHEAD = 4         # script/style/noscript/template (always stacked)
+_F_A = 8
+_F_TABLE = 16
+_F_AUTOCLOSE = 32      # tag participates in _autoclose
+_F_VOID = 64
+_F_FORMATTING = 128
+_F_AFE_MARKER = 256
+_F_NO_RECONSTRUCT = 512
+_F_TABLE_OK = 1024     # allowed directly inside table context
+
+
+def _build_tag_flags() -> dict:
+    flags: dict[str, int] = {}
+
+    def add(tags, bit):
+        for t in tags:
+            flags[t] = flags.get(t, 0) | bit
+
+    add(("html", "head", "body"), _F_TOPLEVEL)
+    add(_HEAD_ONLY, _F_HEADISH)
+    add(("script", "style", "noscript", "template"), _F_HEADISH | _F_RAWHEAD)
+    add(("a",), _F_A)
+    add(("table",), _F_TABLE)
+    add(_P_CLOSERS, _F_AUTOCLOSE)
+    add(("tr", "td", "th", "li", "dd", "dt", "option", "optgroup",
+         "thead", "tbody", "tfoot"), _F_AUTOCLOSE)
+    add(VOID_ELEMENTS, _F_VOID)
+    add(_FORMATTING, _F_FORMATTING)
+    add(_AFE_MARKER_TAGS, _F_AFE_MARKER)
+    add(_NO_RECONSTRUCT, _F_NO_RECONSTRUCT)
+    add(_IN_TABLE_OK, _F_TABLE_OK)
+    return flags
+
+
+_TAG_FLAGS = _build_tag_flags()
+
 
 class _TreeBuilder(HTMLParser):
     def __init__(self) -> None:
@@ -816,6 +855,8 @@ class _TreeBuilder(HTMLParser):
             self._close_upto(spec[0], spec[1])
 
     # -- HTMLParser callbacks ----------------------------------------------
+    # Per-tag behaviour flags: one dict lookup replaces ~10 frozenset
+    # membership tests per start tag (the hottest parse callback).
     def handle_starttag(self, tag: str, attrs) -> None:
         attrib: dict[str, str] | None = None
         if attrs:
@@ -823,34 +864,27 @@ class _TreeBuilder(HTMLParser):
             for k, v in attrs:
                 if k not in attrib:
                     attrib[k] = v if v is not None else ""
-        if tag == "html":
+        flags = _TAG_FLAGS.get(tag, 0)
+        if flags & _F_TOPLEVEL:
+            if tag == "html":
+                target = self.html
+            elif tag == "head":
+                target = self.head
+            else:  # body
+                self.in_body = True
+                target = self.body
             for k, v in (attrib or {}).items():
-                self.html.attrib.setdefault(k, v)
+                target.attrib.setdefault(k, v)
             return
-        if tag == "head":
-            for k, v in (attrib or {}).items():
-                self.head.attrib.setdefault(k, v)
-            return
-        if tag == "body":
-            self.in_body = True
-            for k, v in (attrib or {}).items():
-                self.body.attrib.setdefault(k, v)
-            return
-        if not self.in_body and tag in _HEAD_ONLY:
+        if not self.in_body and flags & _F_HEADISH:
             el = Element(tag, attrib)
             el.parent = self.head
             self.head.children.append(el)
-            if tag not in VOID_ELEMENTS:
+            if (flags & _F_RAWHEAD) or not (flags & _F_VOID):
                 self.stack.append(el)
             return
-        if not self.in_body and tag in ("script", "style", "noscript", "template"):
-            el = Element(tag, attrib)
-            el.parent = self.head
-            self.head.children.append(el)
-            self.stack.append(el)
-            return
         self.in_body = True
-        if tag == "a":
+        if flags & _F_A:
             # Spec: a new <a> with an <a> still in the formatting list
             # implies the old one's end tag (adoption agency), then drops
             # its entry.
@@ -866,14 +900,15 @@ class _TreeBuilder(HTMLParser):
                             del self.stack[i]
                             break
                     break
-        if tag == "table":
+        elif flags & _F_TABLE:
             # A <table> start inside an open table (outside any cell)
             # implies </table> first.
             self._close_upto(("table",), ("td", "th", "caption"))
-        self._autoclose(tag)
+        if flags & _F_AUTOCLOSE:
+            self._autoclose(tag)
         parent = self._current()
-        fostered = parent.tag in _TABLE_CONTEXT and tag not in _IN_TABLE_OK
-        if not fostered and self.afe and tag not in _NO_RECONSTRUCT:
+        fostered = parent.tag in _TABLE_CONTEXT and not (flags & _F_TABLE_OK)
+        if not fostered and self.afe and not (flags & _F_NO_RECONSTRUCT):
             self._reconstruct()
             parent = self._current()
         el = Element(tag, attrib)
@@ -884,11 +919,11 @@ class _TreeBuilder(HTMLParser):
             parent.children.append(el)
         # Depth cap: pathological nesting (100 TB of wild HTML contains
         # everything) must not push recursion limits in later tree ops.
-        if tag not in VOID_ELEMENTS and len(self.stack) < 400:
+        if not (flags & _F_VOID) and len(self.stack) < 400:
             self.stack.append(el)
-        if tag in _FORMATTING:
+        if flags & _F_FORMATTING:
             self._push_formatting(el)
-        elif tag in _AFE_MARKER_TAGS:
+        elif flags & _F_AFE_MARKER:
             self.afe.append(_AFE_MARKER)
 
     def handle_startendtag(self, tag: str, attrs) -> None:
@@ -985,6 +1020,21 @@ _RX_ENDTAG_STRICT = re.compile(r"</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>")
 # runs are consumed, quoted values must close.
 _RX_ATTR = re.compile(
     r"""\s*([^\s/>][^\s/=>]*)(\s*=+\s*('[^']*'|"[^"]*"|(?!['"])[^>\s]*))?"""
+)
+# Fast path for the overwhelmingly common start-tag shape: plain name,
+# well-formed attributes (quoted, or unquoted from a conservative
+# charset), single "=", ">" or "/>" close. Anything unusual (=+ runs,
+# junk attr names, stray quotes/slashes) falls back to the tolerant
+# per-attribute loop, which defines the semantics.
+_RX_SIMPLE_STARTTAG = re.compile(
+    r"<([a-zA-Z][a-zA-Z0-9-]*)"
+    r"((?:\s+[a-zA-Z_:][-a-zA-Z0-9_:.]*"
+    r"(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[a-zA-Z0-9_%.,:;#+\-]+))?)*)"
+    r"\s*(/?)>"
+)
+_RX_SIMPLE_ATTR = re.compile(
+    r"([a-zA-Z_:][-a-zA-Z0-9_:.]*)"
+    r"(?:\s*=\s*(\"[^\"]*\"|'[^']*'|[a-zA-Z0-9_%.,:;#+\-]+))?"
 )
 # cdata mode ends ONLY at a full close tag (stdlib set_cdata_mode):
 # "</script foo>" does NOT end a script element.
@@ -1125,6 +1175,40 @@ def _fast_feed(text: str, builder: "_TreeBuilder") -> None:
             # including a trailing "<" at EOF)
             handle_data("<")
             i = lt + 1
+            continue
+        sm = _RX_SIMPLE_STARTTAG.match(text, lt)
+        if sm is not None:
+            tag = sm.group(1).lower()
+            rawattrs = sm.group(2)
+            attrs = []
+            if rawattrs:
+                for name, rawval in _RX_SIMPLE_ATTR.findall(rawattrs):
+                    if rawval == "":
+                        # distinguish name-only from name="" : findall
+                        # yields "" for both; name-only must be None —
+                        # but an empty quoted value is '""' (len 2), so
+                        # "" here always means no value was present
+                        attrs.append((name.lower(), None))
+                        continue
+                    if rawval[:1] in ("'", '"'):
+                        rawval = rawval[1:-1]
+                    attrs.append(
+                        (name.lower(), unescape(rawval) if "&" in rawval else rawval)
+                    )
+            if sm.group(3):
+                builder.handle_startendtag(tag, attrs)
+                i = sm.end()
+                continue
+            handle_start(tag, attrs)
+            i = sm.end()
+            if tag in ("script", "style"):
+                endm = _RX_RAWTEXT_END[tag].search(text, i)
+                if endm is None:
+                    break
+                if endm.start() > i:
+                    handle_data(text[i:endm.start()])
+                handle_end(tag)
+                i = endm.end()
             continue
         tag = m.group(0).lower()
         # attributes until ">" (respecting quotes)
