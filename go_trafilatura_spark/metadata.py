@@ -969,6 +969,12 @@ _RX_DMY_NAME = stdlib_re.compile(
 )
 
 
+def _date_ord(d: str) -> int:
+    """Days-since-epoch-ish ordinal for yyyy-mm-dd strings (comparison
+    only; no calendar math needed for a +-31-day window test)."""
+    return int(d[:4]) * 372 + int(d[5:7]) * 31 + int(d[8:10])
+
+
 def _valid_date(y: int, m: int, d: int) -> str:
     if 1995 <= y <= 2040 and 1 <= m <= 12 and 1 <= d <= 31:
         return f"{y:04d}-{m:02d}-{d:02d}"
@@ -979,45 +985,60 @@ _RX_YEAR_QUICK = stdlib_re.compile(r"(?:19|20)\d{2}")
 
 
 def _parse_date_string(s: str) -> str:
+    """First VALID date in the string, trying patterns in priority
+    order. A pattern hit that fails validation (e.g. a version number
+    shaped like d/m/y with an out-of-range part) falls through to the
+    pattern's later matches and then the next pattern — an invalid
+    candidate must not abort the scan."""
     s = trim(s)
     # Every supported pattern needs digits; the expensive month-name
     # alternations additionally need a plausible year nearby.
     if not s or not any(ch.isdigit() for ch in s):
         return ""
-    m = _RX_ISO_DATE.search(s)
-    if m:
-        return _valid_date(int(m.group(1)), int(m.group(2)), int(m.group(3)))
-    m = _RX_DMY_DATE.search(s)
-    if m:
-        return _valid_date(int(m.group(3)), int(m.group(2)), int(m.group(1)))
-    m = _RX_MDY_DATE.search(s)
-    if m:
+    for m in _RX_ISO_DATE.finditer(s):
+        d = _valid_date(int(m.group(1)), int(m.group(2)), int(m.group(3)))
+        if d:
+            return d
+    for m in _RX_DMY_DATE.finditer(s):
+        d = _valid_date(int(m.group(3)), int(m.group(2)), int(m.group(1)))
+        if d:
+            return d
+    for m in _RX_MDY_DATE.finditer(s):
         a, b = int(m.group(1)), int(m.group(2))
         if a > 12 and b <= 12:
             # 14/01/2020 can only be day-first
-            return _valid_date(int(m.group(3)), b, a)
-        return _valid_date(int(m.group(3)), a, b)
+            a, b = b, a
+        d = _valid_date(int(m.group(3)), a, b)
+        if d:
+            return d
     if _RX_YEAR_QUICK.search(s):
-        m = _RX_MDY_NAME.search(s)
-        if m:
-            return _valid_date(int(m.group(3)), _MONTHS[m.group(1).lower()], int(m.group(2)))
-        m = _RX_DMY_NAME.search(s)
-        if m:
-            return _valid_date(int(m.group(3)), _MONTHS[m.group(2).lower()], int(m.group(1)))
-    m = _RX_CJK_DATE.search(s)
-    if m:
-        return _valid_date(int(m.group(1)), int(m.group(2)), int(m.group(3)))
-    m = _RX_DMY2_DATE.search(s)
-    if m:
-        return _valid_date(2000 + int(m.group(3)), int(m.group(2)), int(m.group(1)))
+        for m in _RX_MDY_NAME.finditer(s):
+            d = _valid_date(int(m.group(3)), _MONTHS[m.group(1).lower()], int(m.group(2)))
+            if d:
+                return d
+        for m in _RX_DMY_NAME.finditer(s):
+            d = _valid_date(int(m.group(3)), _MONTHS[m.group(2).lower()], int(m.group(1)))
+            if d:
+                return d
+    for m in _RX_CJK_DATE.finditer(s):
+        d = _valid_date(int(m.group(1)), int(m.group(2)), int(m.group(3)))
+        if d:
+            return d
+    for m in _RX_DMY2_DATE.finditer(s):
+        d = _valid_date(2000 + int(m.group(3)), int(m.group(2)), int(m.group(1)))
+        if d:
+            return d
     return ""
 
 
 # Containers whose id/class signals a visible publication date
 # (htmldate's DATE_EXPRESSIONS selector family, compacted).
+# Word boundaries here must treat "_" as a separator too (CSS naming
+# like meta__date / published_at), so the \b of stdlib re — which
+# counts _ as a word char — is replaced with explicit lookarounds.
 _RX_DATE_CLASS = stdlib_re.compile(
-    r"(?i)\b(date|datum|time|timestamp|post-?meta|byline|published|"
-    r"posted-?on|entry-?meta|dateline|submitted|created)\b"
+    r"(?i)(?<![a-z0-9])(date|datum|time|timestamp|post-?meta|byline|published|"
+    r"posted-?on|entry-?meta|dateline|submitted|created)(?![a-z0-9])"
 )
 
 
@@ -1056,17 +1077,20 @@ def extract_date_fast(doc: Element, url: str, extensive: bool = False) -> str:
     full-document scan choosing the most frequent, earliest candidate."""
     reserve = ""
 
-    # 1. URL pattern /YYYY/MM/DD/ — a complete url date names the post's
-    # publication slot; measured on the comparison corpus it beats even
-    # published meta tags (which CMSes rewrite on edits).
+    # 1. meta tags (go-htmldate examines the header first). All
+    # published-key candidates are collected and the EARLIEST wins —
+    # UseOriginalDate semantics: when a CMS stamps both the original
+    # and a republished/edited date in meta, the original is wanted.
+    # Modified keys are only a reserve.
+    url_date = ""
     if url:
         m = _RX_URL_DATE.search(url)
         if m:
-            date = _valid_date(int(m.group(1)), int(m.group(2)), int(m.group(3)))
-            if date:
-                return date
+            url_date = _valid_date(int(m.group(1)), int(m.group(2)), int(m.group(3)))
 
-    # 2. meta tags — published keys decide; modified keys are a reserve
+    if url_date:
+        return url_date
+
     for node in etree.get_elements_by_tag(doc, "meta"):
         key = (node.get("property") or node.get("name") or node.get("itemprop")).lower()
         if key in _DATE_META_PUBLISHED:
@@ -1121,7 +1145,7 @@ def extract_date_fast(doc: Element, url: str, extensive: bool = False) -> str:
                 continue
             idclass = attrib.get("class", "") + " " + attrib.get("id", "")
             if len(idclass) > 1 and _RX_DATE_CLASS.search(idclass):
-                blob = trim(etree.text_content(node))[:512]
+                blob = trim(etree.iter_text(node, " "))[:512]
                 date = _parse_date_string(blob)
                 if date:
                     return date
@@ -1136,7 +1160,10 @@ def extract_date_fast(doc: Element, url: str, extensive: bool = False) -> str:
     # 7. Bounded visible-text scan (first match in body — htmldate's
     # search_page fast behaviour).
     if body is not None:
-        text = etree.text_content(body)[:50000]
+        # iter_text: element boundaries become separators, so a date
+        # glued to a neighboring element's text ("am09.02.2022Habt")
+        # keeps its word boundaries
+        text = etree.iter_text(body, "\n")[:50000]
         date = _parse_date_string(text)
         if date:
             return date
@@ -1152,7 +1179,7 @@ def extract_date_fast(doc: Element, url: str, extensive: bool = False) -> str:
                     return date
         # 9. Embedded-JSON keys anywhere in the document (JS-rendered
         # pages carry published_at/datePublished in script state).
-        whole = etree.text_content(doc)[:400000]
+        whole = etree.iter_text(doc, "\n")[:400000]
         m = stdlib_re.search(
             r'(?i)"(?:published_at|datePublished|publishedDate|datePosted|'
             r'published_time|pubdate|publishdate)"\s*:\s*"([^"]+)"',
@@ -1162,9 +1189,29 @@ def extract_date_fast(doc: Element, url: str, extensive: bool = False) -> str:
             date = _parse_date_string(m.group(1))
             if date:
                 return date
-        # 10. Whole-document frequency pick, earliest on ties
-        # (original-date preference).
+        # 10. Late URL patterns: dash-separated dates in the path
+        # (yyyy-mm-dd or dd-mm-yyyy segments) — consulted only after
+        # every in-document tier failed (a /yyyy/mm/dd/ slot was the
+        # authoritative early tier; dashes are weaker evidence).
+        if url:
+            m = stdlib_re.search(r"/(\d{4})-(\d{2})-(\d{2})(?:[/.]|$)", url)
+            if m:
+                date = _valid_date(int(m.group(1)), int(m.group(2)), int(m.group(3)))
+                if date:
+                    return date
+            m = stdlib_re.search(r"/(\d{2})-(\d{2})-(\d{4})(?:[/.]|$)", url)
+            if m:
+                date = _valid_date(int(m.group(3)), int(m.group(2)), int(m.group(1)))
+                if date:
+                    return date
+        # 11. Whole-document frequency pick over the SERIALIZED html
+        # (attribute values carry dates the visible text lost — lazy-
+        # loaded links, onclick urls; go-htmldate's extensive search
+        # also scans the raw html), earliest on ties (original-date
+        # preference).
         found = _scan_all_dates(whole)
+        if not found:
+            found = _scan_all_dates(etree.tostring(doc)[:400000])
         if found:
             from collections import Counter
 
