@@ -149,9 +149,12 @@ def extract_document(doc: Element, options: Options, owns_doc: bool = False) -> 
     if options.deduplicate and duplicate_test(post_body, cache, options):
         raise ExtractError("duplicate")
 
-    # Language sanity
+    # Language sanity (core.go:196-201: any classifier answer that is
+    # not the target rejects — the round-2 stopword classifier only
+    # gated on a positive detection; the trigram detector restores the
+    # reference's exact condition)
     lang = language_classifier(tmp_body_text, tmp_comments)
-    if options.target_language and lang != "" and lang != options.target_language:
+    if options.target_language and lang != options.target_language:
         raise ExtractError("wrong_language", f"want {options.target_language} got {lang}")
 
     if lang != "":

@@ -253,9 +253,13 @@ def detect_language(text: str) -> str:
 
 
 def language_classifier(content_text: str, comments_text: str) -> str:
-    """utils-extractor.go:96-109 — classify the longer of the two texts."""
+    """utils-extractor.go:96-109 — classify the longer of the two texts
+    with the trigram detector (whatlanggo shape: a best guess for any
+    real text, not just stopword hits)."""
+    from .lang import detect
+
     lang_test = comments_text if len(comments_text) > len(content_text) else content_text
-    return detect_language(lang_test)
+    return detect(lang_test)
 
 
 _RX_HTML_LANG = re.compile(r"(?i)[a-z]{2}")
