@@ -626,6 +626,19 @@ _END_CODE.update({t: 4 for t in _FORMATTING})
 _END_CODE.update({"html": 1, "head": 1, "body": 2, "br": 3,
                   "td": 5, "th": 5, "caption": 5, "table": 6})
 
+# HTML5 "in foreign content" breakout start tags: seeing one of these
+# inside svg/math pops the whole foreign subtree and reprocesses the
+# tag as HTML (x/net/html implements the same list; font only breaks
+# out when it carries color/face/size).
+_FOREIGN_BREAKOUT = frozenset(
+    ("b big blockquote body br center code dd div dl dt em embed h1 h2 h3 "
+     "h4 h5 h6 head hr i img li listing menu meta nobr ol p pre ruby s "
+     "small span strong strike sub sup table tt u ul var").split()
+)
+# HTML integration points: HTML parsing rules resume under these even
+# inside a foreign subtree.
+_INTEGRATION_POINTS = frozenset(("foreignobject", "desc", "title", "annotation-xml"))
+
 
 class _TreeBuilder(HTMLParser):
     def __init__(self) -> None:
@@ -647,6 +660,9 @@ class _TreeBuilder(HTMLParser):
         self.in_body = False
         # List of active formatting elements (_FmtEntry | _AFE_MARKER).
         self.afe: list = []
+        # Open svg/math elements (foreign content; breakout + honored
+        # self-closing per HTML5 "in foreign content")
+        self.foreign = 0
 
     # -- helpers ----------------------------------------------------------
     def updatepos(self, i: int, j: int) -> int:
@@ -672,8 +688,11 @@ class _TreeBuilder(HTMLParser):
         dropped = self.stack[i:]
         del self.stack[i:]
         for el in dropped:
-            if el.tag in ("td", "th", "caption"):
+            t = el.tag
+            if t in ("td", "th", "caption"):
                 self._clear_afe_to_marker()
+            elif t in ("svg", "math"):
+                self.foreign -= 1
 
     def _close_upto(self, targets: tuple, stops: tuple) -> None:
         for i in range(len(self.stack) - 1, -1, -1):
@@ -816,6 +835,9 @@ class _TreeBuilder(HTMLParser):
         afe.remove(entry)
         # Drop the formatting element and intermediates; the furthest
         # block (and anything inside it) stays open.
+        for dropped in stack[fe_idx:fb_idx]:
+            if dropped.tag in ("svg", "math"):
+                self.foreign -= 1
         del stack[fe_idx:fb_idx]
 
     # -- foster parenting -----------------------------------------------------
@@ -904,6 +926,17 @@ class _TreeBuilder(HTMLParser):
                 self.stack.append(el)
             return
         self.in_body = True
+        if self.foreign and (
+            tag in _FOREIGN_BREAKOUT
+            or (tag == "font" and attrib is not None
+                and ("color" in attrib or "face" in attrib or "size" in attrib))
+        ) and self._in_pure_foreign():
+            # breakout: close the whole foreign subtree, then process
+            # the tag as ordinary HTML content
+            for i, el in enumerate(self.stack):
+                if el.tag in ("svg", "math"):
+                    self._pop_to(i)
+                    break
         if flags & _F_A:
             # Spec: a new <a> with an <a> still in the formatting list
             # implies the old one's end tag (adoption agency), then drops
@@ -941,17 +974,47 @@ class _TreeBuilder(HTMLParser):
         # everything) must not push recursion limits in later tree ops.
         if not (flags & _F_VOID) and len(self.stack) < 400:
             self.stack.append(el)
+            if tag in ("svg", "math"):
+                self.foreign += 1
         if flags & _F_FORMATTING:
             self._push_formatting(el)
         elif flags & _F_AFE_MARKER:
             self.afe.append(_AFE_MARKER)
 
+    def _in_pure_foreign(self) -> bool:
+        """True when the current node is genuine foreign content (not
+        under an HTML integration point like foreignObject/desc/title/
+        annotation-xml)."""
+        for el in reversed(self.stack):
+            t = el.tag
+            if t in _INTEGRATION_POINTS:
+                return False
+            if t in ("svg", "math"):
+                return True
+        return False
+
     def handle_startendtag(self, tag: str, attrs) -> None:
-        if tag in VOID_ELEMENTS:
-            self.handle_starttag(tag, attrs)
-        else:
-            # HTML5: "/>" on a non-void element is just a start tag
-            self.handle_starttag(tag, attrs)
+        # Foreign content honors the self-closing flag (<path/>, <svg/>
+        # stay empty); in HTML content "/>" on a non-void element is
+        # just a start tag.
+        if tag in ("svg", "math") or (
+            self.foreign and tag not in VOID_ELEMENTS
+            and tag not in _FOREIGN_BREAKOUT and self._in_pure_foreign()
+        ):
+            attrib: dict | None = None
+            if attrs:
+                attrib = {}
+                for k, v in attrs:
+                    if k not in attrib:
+                        attrib[k] = v if v is not None else ""
+            if tag in ("svg", "math"):
+                self.in_body = True
+            parent = self._current()
+            el = Element(tag, attrib)
+            el.parent = parent
+            parent.children.append(el)
+            return
+        self.handle_starttag(tag, attrs)
 
     def handle_endtag(self, tag: str) -> None:
         code = _END_CODE.get(tag, 0)
@@ -960,6 +1023,7 @@ class _TreeBuilder(HTMLParser):
                 return
             if code == 2:  # body
                 self.stack.clear()
+                self.foreign = 0
                 self.in_body = True
                 return
             if code == 3:  # </br> acts as a <br> start tag (spec)

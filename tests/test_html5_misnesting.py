@@ -178,3 +178,74 @@ def test_extraction_of_table_with_stray_text():
     ).encode()
     res = gts.extract(html, gts.Options())
     assert "alpha" in res.content_text and "beta" in res.content_text
+
+
+# ---------------------------------------------------------------------------
+# Foreign content (svg / math): HTML5 "in foreign content" rules as
+# x/net/html implements them (reference core.go:73) — breakout start
+# tags escape the foreign subtree, self-closing is honored, HTML
+# integration points resume HTML parsing.
+# ---------------------------------------------------------------------------
+
+def _svg_of(tree):
+    return etree.get_elements_by_tag(tree, "svg")[0]
+
+
+def test_foreign_breakout_paragraph():
+    # browsers put the <p> OUTSIDE the svg; the svg subtree is a killed
+    # tag (settings.go:28), so nesting it inside would lose the text
+    tree = etree.parse_html(
+        '<p>a</p><svg><rect width="5"></rect><p>hello</p></svg><p>b</p>')
+    assert not etree.get_elements_by_tag(_svg_of(tree), "p")
+    texts = [p.text for p in etree.get_elements_by_tag(tree, "p")]
+    assert "hello" in texts
+
+
+def test_foreign_selfclosing_leaves():
+    tree = etree.parse_html('<svg><circle/><circle/><circle/></svg><p>x</p>')
+    svg = _svg_of(tree)
+    circles = etree.get_elements_by_tag(svg, "circle")
+    assert len(circles) == 3
+    assert all(not c.children for c in circles)  # siblings, not nested
+
+
+def test_selfclosed_svg_does_not_swallow():
+    tree = etree.parse_html('<svg/><p>alive</p>')
+    assert not etree.get_elements_by_tag(_svg_of(tree), "p")
+    assert any(p.text == "alive" for p in etree.get_elements_by_tag(tree, "p"))
+
+
+def test_foreignobject_integration_point():
+    tree = etree.parse_html(
+        '<svg><foreignObject><div><p>inside</p></div></foreignObject></svg>')
+    assert etree.get_elements_by_tag(_svg_of(tree), "p")  # stays inside
+
+
+def test_math_breakout_div():
+    tree = etree.parse_html('<math><mi>x</mi><div>out</div></math><p>c</p>')
+    maths = etree.get_elements_by_tag(tree, "math")
+    assert maths and not etree.get_elements_by_tag(maths[0], "div")
+
+
+def test_font_breakout_only_with_presentational_attrs():
+    t1 = etree.parse_html('<svg><font color="red">t</font></svg>')
+    assert not etree.get_elements_by_tag(_svg_of(t1), "font")
+    t2 = etree.parse_html('<svg><font>t</font></svg>')
+    assert etree.get_elements_by_tag(_svg_of(t2), "font")
+
+
+def test_extraction_recovers_breakout_text():
+    # end-to-end: prose a CMS accidentally left inside an unclosed svg
+    # block survives extraction because the parser breaks it out before
+    # doc_cleaning kills the svg subtree
+    from go_trafilatura_spark.core import extract
+    from go_trafilatura_spark.options import Config, Options
+
+    html = (b'<html><body><article><svg viewBox="0 0 5 5">'
+            b'<rect width="5"></rect>'
+            b'<p>The actual article text lives here and must survive.</p>'
+            b'</article></body></html>')
+    res = extract(html, Options(config=Config(
+        min_extracted_size=0, min_output_size=0,
+        min_output_comment_size=0, min_extracted_comment_size=0)))
+    assert "must survive" in res.content_text
