@@ -183,13 +183,97 @@ def extracted_ok(df: DataFrame) -> DataFrame:
     return df.where(F.col("reject_reason").isNull())
 
 
-def write_extracted(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    """Sink: parquet, partitioned by hostname bucket for downstream
-    pruning. (On a real deployment this is an Iceberg
-    overwritePartitions for snapshot-isolated idempotent retries.)"""
-    df.withColumn(
+# ---------------------------------------------------------------------------
+# Table sinks: writeTo-style interface (SURVEY.md §3.4). The production
+# story is an Iceberg table with overwritePartitions (snapshot-isolated
+# idempotent retries); local runs emulate the same semantics over
+# parquet with dynamic partition overwrite. The pipeline talks only to
+# this interface, so a cluster deployment swaps backends without
+# forking extract_pages_resumable.
+# ---------------------------------------------------------------------------
+
+class TableSink:
+    def append(self, df: DataFrame) -> None:
+        raise NotImplementedError
+
+    def overwrite_partitions(self, df: DataFrame) -> None:
+        raise NotImplementedError
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        raise NotImplementedError
+
+    def exists(self, spark: SparkSession) -> bool:
+        try:
+            self.read(spark)
+            return True
+        except Exception:
+            return False
+
+
+class ParquetSink(TableSink):
+    """Local backend: partitioned parquet with dynamic partition
+    overwrite emulating Iceberg's overwritePartitions."""
+
+    def __init__(self, path: str, partition_by: tuple = ("bucket",)):
+        self.path = path
+        self.partition_by = tuple(partition_by)
+
+    def _writer(self, df: DataFrame, mode: str):
+        w = df.write.mode(mode)
+        if self.partition_by:
+            w = w.partitionBy(*self.partition_by)
+        return w
+
+    def append(self, df: DataFrame) -> None:
+        self._writer(df, "append").parquet(self.path)
+
+    def overwrite_partitions(self, df: DataFrame) -> None:
+        spark = df.sparkSession
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try:
+            self._writer(df, "overwrite").parquet(self.path)
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.path)
+
+
+class IcebergSink(TableSink):
+    """Cluster backend: a catalog table written through the DataFrameV2
+    API — df.writeTo(table).overwritePartitions() is the north rule's
+    idempotent per-partition commit. Requires an Iceberg (or other v2)
+    catalog on the session; not exercisable in this sandbox, but the
+    call surface is the public Spark API."""
+
+    def __init__(self, table: str):
+        self.table = table
+
+    def append(self, df: DataFrame) -> None:
+        df.writeTo(self.table).append()
+
+    def overwrite_partitions(self, df: DataFrame) -> None:
+        df.writeTo(self.table).overwritePartitions()
+
+    def read(self, spark: SparkSession) -> DataFrame:
+        return spark.read.table(self.table)
+
+
+def write_extracted(df: DataFrame, path_or_sink, mode: str = "overwrite") -> None:
+    """Sink extracted rows partitioned by a url-hash bucket for
+    downstream pruning; accepts a path (parquet backend) or any
+    TableSink."""
+    out = df.withColumn(
         "host_bucket", F.pmod(F.xxhash64("url"), F.lit(256)).cast("int")
-    ).write.mode(mode).parquet(path)
+    )
+    if isinstance(path_or_sink, TableSink):
+        if mode == "overwrite":
+            path_or_sink.overwrite_partitions(out)
+        else:
+            path_or_sink.append(out)
+        return
+    out.write.mode(mode).parquet(path_or_sink)
 
 
 # ---------------------------------------------------------------------------
@@ -206,6 +290,8 @@ def extract_pages_resumable(
     output_path: str,
     options: dict | None = None,
     num_partitions: int = 32,
+    sink: TableSink | None = None,
+    manifest_sink: TableSink | None = None,
 ) -> DataFrame:
     """Idempotent, resumable extraction over a pages table.
 
@@ -213,25 +299,30 @@ def extract_pages_resumable(
     bucket commits its output under bucket=<id>/ plus a manifest row
     (bucket id, row count). A re-run reads the manifest and processes
     only missing buckets — per-partition lineage + checkpointed resume
-    per the north rule. Parquet's task-commit protocol makes partial
-    task retries invisible; bucket-level manifests make whole-job
-    restarts cheap.
+    per the north rule. The commit goes through a TableSink (parquet
+    emulation locally, IcebergSink on a cluster); the task-commit /
+    snapshot protocol of the backend makes partial retries invisible,
+    bucket-level manifests make whole-job restarts cheap.
     """
+    sink = sink or ParquetSink(output_path, partition_by=("bucket",))
+    manifest_sink = manifest_sink or ParquetSink(
+        manifest_path(output_path), partition_by=()
+    )
+
     df = read_pages(spark, input_path)
     df = df.withColumn(
         "bucket", F.pmod(F.xxhash64("url"), F.lit(num_partitions)).cast("int")
     )
 
-    mpath = manifest_path(output_path)
     done_buckets: set[int] = set()
     try:
-        mdf = spark.read.parquet(mpath)
+        mdf = manifest_sink.read(spark)
         done_buckets = {r["bucket"] for r in mdf.select("bucket").distinct().collect()}
     except Exception:
         pass  # no manifest yet
 
     if len(done_buckets) >= num_partitions:
-        return spark.read.parquet(output_path)  # nothing left to do
+        return sink.read(spark)  # nothing left to do
 
     todo = df.where(~F.col("bucket").isin(sorted(done_buckets))) if done_buckets else df
 
@@ -253,15 +344,17 @@ def extract_pages_resumable(
         for b in todo_buckets
     ]
     result = result.observe(obs, *count_exprs)
-    result.write.mode("append").partitionBy("bucket").parquet(output_path)
+    sink.append(result)
 
     observed = obs.get
     rows = [(b, int(observed[f"b{b}"] or 0)) for b in todo_buckets]
-    spark.createDataFrame(rows, "bucket INT, row_count BIGINT").withColumn(
-        "input_path", F.lit(input_path)
-    ).write.mode("append").parquet(mpath)
+    manifest_sink.append(
+        spark.createDataFrame(rows, "bucket INT, row_count BIGINT").withColumn(
+            "input_path", F.lit(input_path)
+        )
+    )
 
-    return spark.read.parquet(output_path)
+    return sink.read(spark)
 
 
 # ---------------------------------------------------------------------------

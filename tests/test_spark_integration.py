@@ -114,6 +114,80 @@ def test_resume_manifest(spark, smoke_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_resume_sink_backend_swap(spark, smoke_dir):
+    """extract_pages_resumable talks only to the TableSink interface:
+    a recording in-memory backend receives the same bucketed appends
+    the parquet emulation does, and resume skips completed buckets
+    based purely on the manifest the sink returns."""
+    from go_trafilatura_spark.pipeline import TableSink, extract_pages_resumable
+
+    class MemorySink(TableSink):
+        def __init__(self):
+            self.frames = []
+            self.calls = []
+            self.schema = None
+
+        def append(self, df):
+            self.calls.append("append")
+            self.schema = df.schema
+            self.frames.append(df.collect())
+
+        def overwrite_partitions(self, df):
+            self.calls.append("overwrite_partitions")
+            self.schema = df.schema
+            self.frames.append(df.collect())
+
+        def read(self, spark_):
+            if not self.frames:
+                raise FileNotFoundError("empty sink")
+            rows = [r for chunk in self.frames for r in chunk]
+            return spark_.createDataFrame(rows, self.schema)
+
+    out, manifest = MemorySink(), MemorySink()
+    df1 = extract_pages_resumable(
+        spark, os.path.join(smoke_dir, "pages.parquet"), "/nonexistent/unused",
+        num_partitions=4, sink=out, manifest_sink=manifest,
+    )
+    n1 = df1.count()
+    assert n1 > 0
+    assert out.calls == ["append"]
+    assert {r["bucket"] for r in manifest.frames[0]} == {0, 1, 2, 3}
+    # manifest row counts equal the committed rows per bucket
+    from collections import Counter
+
+    committed = Counter(r["bucket"] for r in out.frames[0])
+    assert {r["bucket"]: r["row_count"] for r in manifest.frames[0]} == dict(committed)
+
+    # resume: all buckets done -> no new work, sink untouched
+    df2 = extract_pages_resumable(
+        spark, os.path.join(smoke_dir, "pages.parquet"), "/nonexistent/unused",
+        num_partitions=4, sink=out, manifest_sink=manifest,
+    )
+    assert df2.count() == n1
+    assert out.calls == ["append"]
+
+
+def test_parquet_sink_overwrite_partitions(spark, smoke_dir):
+    """ParquetSink.overwrite_partitions replaces only the partitions
+    present in the incoming frame (Iceberg overwritePartitions
+    emulation via dynamic partition overwrite)."""
+    from go_trafilatura_spark.pipeline import ParquetSink
+
+    tmp = tempfile.mkdtemp(prefix="gts_sink_")
+    try:
+        sink = ParquetSink(os.path.join(tmp, "t"), partition_by=("bucket",))
+        base = spark.createDataFrame(
+            [(1, "a", 0), (2, "b", 0), (3, "c", 1)], "id long, v string, bucket int")
+        sink.append(base)
+        # overwrite bucket 0 only; bucket 1 must survive
+        repl = spark.createDataFrame([(9, "z", 0)], "id long, v string, bucket int")
+        sink.overwrite_partitions(repl)
+        rows = {(r["id"], r["bucket"]) for r in sink.read(spark).collect()}
+        assert rows == {(9, 0), (3, 1)}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_streaming_extraction(spark, smoke_dir):
     from go_trafilatura_spark.streaming import start_extraction_stream
 
