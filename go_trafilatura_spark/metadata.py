@@ -1003,7 +1003,9 @@ def _parse_date_string(s: str) -> str:
         d = _valid_date(int(m.group(3)), int(m.group(2)), int(m.group(1)))
         if d:
             return d
-    for m in _RX_MDY_DATE.finditer(s):
+    for i, m in enumerate(_RX_MDY_DATE.finditer(s)):
+        if i >= 25:
+            break  # digit-dense blobs: bound the invalid-candidate walk
         a, b = int(m.group(1)), int(m.group(2))
         if a > 12 and b <= 12:
             # 14/01/2020 can only be day-first
