@@ -131,11 +131,24 @@ def prune_unwanted_nodes(tree: Element, rules, with_backup: bool = False,
     if not in_place:
         tree = etree.clone(tree, True)
 
+    # One doc-order walk snapshot serves every rule in the list; a
+    # match inside a subtree an earlier rule removed is skipped via the
+    # attachment check below (identical results to the per-rule
+    # re-scan: removals change structure, never the attributes the
+    # rules read).
+    index = selectors.TagIndex(tree) if len(rules) > 1 else None
     for rule in rules:
-        sub_elements = selectors.query_all(tree, rule)
+        cands = index.candidates(rule) if index is not None else None
+        sub_elements = selectors.query_all(tree, rule, cands)
         for sub in reversed(sub_elements):
             if sub.parent is None:
                 continue
+            if index is not None:
+                anc = sub
+                while anc.parent is not None:
+                    anc = anc.parent
+                if anc is not tree:
+                    continue  # detached by an earlier rule's removal
             tail = sub.tail
             if tail:
                 prev = etree.prev_element_sibling(sub)

@@ -493,8 +493,12 @@ def extract_content(doc: Element, cache, options) -> tuple[Element, str]:
     if options.include_links:
         potential_tags.add("a")
 
+    # One doc-order walk serves all five content rules (the matched
+    # subtree is cloned before any mutation, so doc stays unchanged
+    # across iterations)
+    index = selectors.TagIndex(doc)
     for rule in selectors.CONTENT:
-        subtree = selectors.query(doc, rule)
+        subtree = selectors.query(doc, rule, index.candidates(rule))
         if subtree is None:
             continue
 
@@ -570,8 +574,11 @@ def extract_comments(doc: Element, cache, options) -> tuple[Element | None, str]
     comments_body = etree.new_element("body")
     potential_tags = set(TAG_CATALOG)
 
+    # One doc-order walk serves all four comment rules (the tree is
+    # only read here; prune works on a clone)
+    index = selectors.TagIndex(doc)
     for rule in selectors.COMMENTS:
-        subtree = selectors.query(doc, rule)
+        subtree = selectors.query(doc, rule, index.candidates(rule))
         if subtree is None:
             continue
 

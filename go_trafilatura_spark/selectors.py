@@ -31,10 +31,10 @@ def _rule_candidates(root: Element, rule) -> list[Element]:
     return out
 
 
-def query(root: Element, rule) -> Element | None:
+def query(root: Element, rule, elements: list | None = None) -> Element | None:
     """First matching descendant in document order
     (internal/selector/selector.go:31-38)."""
-    for el in _rule_candidates(root, rule):
+    for el in (elements if elements is not None else _rule_candidates(root, rule)):
         if rule(el):
             return el
     return None
