@@ -148,65 +148,17 @@ def sanitize_tree(tree: Element, options) -> None:
 
 
 # ---------------------------------------------------------------------------
-# Second candidate slot: boilerpipe/DOM-Distiller-style block classifier
+# Second candidate slot: DOM-Distiller article pipeline
 # (the reference's distiller position, external.go:141-158)
 # ---------------------------------------------------------------------------
 
-_BLOCK_LEVEL = frozenset(
-    "p div section article li blockquote pre td h1 h2 h3 h4 h5 h6 dd dt".split()
-)
-
 
 def distiller_candidate(doc: Element) -> Element | None:
-    """Boilerpipe/DOM-Distiller-style block classifier: flatten the page
-    into leaf text blocks, keep blocks that look like prose (long text,
-    low link density) plus short blocks sandwiched between kept ones
-    (the classic NumWordsRules context rule), emit as <p> sequence."""
-    body = etree.body_of(doc)
-    if body is None:
-        return None
-    work = etree.clone(body, True)
-    etree.strip_elements(work, False, "script", "style", "noscript", "template",
-                         "iframe", "nav", "footer", "aside", "form")
+    """go-domdistiller slot (external.go:150-156): the full
+    boilerpipe/dom-distiller article filter cascade in distiller.py.
+    The reference clones before distiller.Apply because the Go
+    distiller mutates its input; distill() is read-only (it clones the
+    kept nodes into a fresh tree), so no defensive copy is needed."""
+    from .distiller import distill
 
-    # Leaf blocks: block-level elements with no block-level children.
-    blocks = []
-    for el in etree.get_elements_by_tag(work, "*"):
-        if el.tag not in _BLOCK_LEVEL:
-            continue
-        if any(c.tag in _BLOCK_LEVEL for c in etree.children_of(el)):
-            continue
-        text = trim(etree.text_content(el))
-        if not text:
-            continue
-        n_words = len(text.split())
-        link_text = sum(
-            len(trim(etree.text_content(a)))
-            for a in etree.get_elements_by_tag(el, "a")
-        )
-        if el.tag == "a":
-            link_text = len(text)
-        density = link_text / len(text)
-        blocks.append((text, n_words, density, el.tag))
-
-    if not blocks:
-        return None
-
-    # Primary classification: prose blocks
-    keep = [
-        (n_words >= 12 and density < 0.33) or (n_words >= 40 and density < 0.5)
-        for (_t, n_words, density, _tag) in blocks
-    ]
-    # Context rule: short low-density blocks between two kept blocks
-    for i in range(1, len(blocks) - 1):
-        if not keep[i] and keep[i - 1] and keep[i + 1] and blocks[i][2] < 0.33:
-            keep[i] = True
-
-    kept = [b for b, k in zip(blocks, keep) if k]
-    if not kept:
-        return None
-    out = etree.new_element("div")
-    for text, _w, _d, tag in kept:
-        el = etree.sub_element(out, "p" if tag not in ("h1", "h2", "h3", "h4", "h5", "h6", "pre", "blockquote") else tag)
-        etree.set_text(el, text)
-    return out
+    return distill(doc)
