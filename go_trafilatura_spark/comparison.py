@@ -216,7 +216,10 @@ def score_metadata(spark, entries: list[dict] | None = None):
     df = build_dataframe(spark, entries)
     extracted = extract_pages(
         df.select("url", "html"),
-        options={"exclude_comments": True},
+        # Extensive date mode: the curated corpus dates carry
+        # whole-document-scan semantics (go-htmldate Extensive, which
+        # the reference selects whenever fallback is on).
+        options={"exclude_comments": True, "date_mode": "extensive"},
         num_partitions=64,
     )
     joined = extracted.join(

@@ -902,6 +902,11 @@ def extract_license(doc: Element, index=None) -> str:
 # Published/original date keys vs modified/updated keys: go-htmldate runs
 # with UseOriginalDate=true (reference metadata.go:98-99), so published
 # sources win and modified ones are only a reserve.
+# Meta keys naming the publication date (htmldate's attribute list;
+# first hit in document order wins — experiments with key-precedence
+# classes were net-negative on the comparison corpus: generic slots
+# like "date" are the curated value as often as the explicit
+# published keys).
 _DATE_META_PUBLISHED = frozenset((
     "article:published_time", "article:published", "og:article:published_time",
     "og:published_time", "rnews:datepublished", "datecreated",
@@ -914,9 +919,10 @@ _DATE_META_PUBLISHED = frozenset((
     "published", "release_date", "publication-date", "cxenseparse:recs:publishtime",
 ))
 _DATE_META_MODIFIED = frozenset((
-    "article:modified_time", "og:updated_time", "updated_time", "lastmod",
-    "last-modified", "datemodified", "dc.date.modified", "dcterms.modified",
-    "revised", "lastdate", "last-published", "modified_time",
+    "article:modified_time", "og:article:modified_time", "og:updated_time",
+    "updated_time", "lastmod", "last-modified", "datemodified",
+    "dc.date.modified", "dcterms.modified", "revised", "lastdate",
+    "last-published", "modified_time", "revision_date",
 ))
 
 _RX_ISO_DATE = stdlib_re.compile(r"(\d{4})-(\d{2})-(\d{2})")
@@ -982,6 +988,47 @@ def _valid_date(y: int, m: int, d: int) -> str:
 
 
 _RX_YEAR_QUICK = stdlib_re.compile(r"(?:19|20)\d{2}")
+
+# camelCase class names ("liveArticleAuthorDateBlock") hide the word
+# boundaries the date-class tokens rely on; split before matching.
+_RX_CAMEL_SPLIT = stdlib_re.compile(r"(?<=[a-z])(?=[A-Z])")
+
+# "comments-open"/"comments-closed" are WordPress per-post STATUS
+# classes on the article container itself, and "kommentar" singular
+# appears in category slugs (category-der-kommentar = op-ed) — only
+# the section forms count as a comment area.
+_RX_COMMENT_AREA = stdlib_re.compile(
+    r"(?i)(?<![a-z0-9])(comment|comments(?!-open|-closed)|respond|reply|"
+    r"kommentare|kommentarbereich|discussion|disqus)(?![a-z0-9])")
+
+
+def _in_comment_area(node) -> bool:
+    anc = node.parent
+    depth = 0
+    while anc is not None and depth < 30:
+        attrib = anc.attrib
+        if attrib:
+            idclass = attrib.get("class", "") + " " + attrib.get("id", "")
+            if len(idclass) > 1 and _RX_COMMENT_AREA.search(idclass):
+                return True
+        anc = anc.parent
+        depth += 1
+    return False
+
+
+# Explicit publication announcements in visible text (multilingual;
+# strong verbs only — weak markers like bare "am"/"Datum" false-match
+# navigation and event listings).
+_RX_PUB_MARKER = stdlib_re.compile(
+    r"(?i)(?:ver[öo]ffentlicht(?:\s+am)?|erschienen\s+am|erstellt\s+am|"
+    r"publiziert\s+am|published(?:\s+on|\s+at)?|posted\s+on|"
+    r"publi[ée]\s+le|publicado\s+el|pubblicato\s+il|notizia\s+del)\s*:?\s*")
+
+# Announced modification stamps in visible text (reserve-grade).
+_RX_MOD_MARKER = stdlib_re.compile(
+    r"(?i)(?:letzte\s+[äa]nderung|zuletzt\s+(?:aktualisiert|ge[äa]ndert)|"
+    r"aktualisiert\s+am|(?:last\s+)?updated\s+on|last\s+updated|"
+    r"mis\s+[àa]\s+jour|[uú]ltima\s+actualizaci[óo]n)\s*:?\s*")
 
 
 def _parse_date_string(s: str) -> str:
@@ -1111,6 +1158,11 @@ def extract_date_fast(doc: Element, url: str, extensive: bool = False) -> str:
             if date:
                 return date
     for node in time_nodes:
+        # A bare <time> inside the comment section is a comment
+        # timestamp, not the article date (htmldate's selectors skip
+        # comment containers for the same reason).
+        if _in_comment_area(node):
+            continue
         date = _parse_date_string(node.get("datetime") or etree.text_content(node))
         if date:
             return date
@@ -1119,6 +1171,23 @@ def extract_date_fast(doc: Element, url: str, extensive: bool = False) -> str:
             date = _parse_date_string(node.get("title") or etree.text_content(node))
             if date:
                 return date
+
+    # 3b. Microdata on arbitrary elements (htmldate's itemprop scan is
+    # not limited to <time>): <span itemprop="datePublished"
+    # content="...">. Modified stamps feed the reserve.
+    for node in etree.iter_descendants(doc):
+        itemprop = node.attrib.get("itemprop") if node.attrib else None
+        if not itemprop:
+            continue
+        key = itemprop.lower()
+        if key in ("datepublished", "datecreated"):
+            date = _parse_date_string(
+                node.get("content") or node.get("datetime"))
+            if date:
+                return date
+        elif not reserve and key in ("datemodified", "dateupdate"):
+            reserve = _parse_date_string(
+                node.get("content") or node.get("datetime"))
 
     # 4. JSON-LD datePublished / dateCreated (dateModified as reserve)
     for script in css.query_all(doc, _JSONLD_SELECTORS):
@@ -1135,10 +1204,28 @@ def extract_date_fast(doc: Element, url: str, extensive: bool = False) -> str:
             if m:
                 reserve = _parse_date_string(m.group(1))
 
-    # 5. Date-classed visible containers (htmldate DATE_EXPRESSIONS).
+    # 5a. Explicit publication announcements in visible text
+    # ("Veröffentlicht am 16.08.2019", "Erschienen am: ...", "Publié
+    # le ..."): a stated publication line beats a date-classed
+    # container, which on comment-bearing pages often holds a comment
+    # or teaser date instead.
+    body = etree.body_of(doc)
+    marker_text = ""
+    if body is not None:
+        # iter_text: element boundaries become separators, so a date
+        # glued to a neighboring element's text ("am09.02.2022Habt")
+        # keeps its word boundaries. The 300 KB cap bounds worst-case
+        # cost; real markers cluster near the top but listing layouts
+        # can push the article body past 50 KB.
+        marker_text = etree.iter_text(body, "\n")[:300000]
+        for m in _RX_PUB_MARKER.finditer(marker_text):
+            date = _parse_date_string(marker_text[m.end():m.end() + 48])
+            if date:
+                return date
+
+    # 5b. Date-classed visible containers (htmldate DATE_EXPRESSIONS).
     # Attribute-less nodes are skipped on the fast path and the scan is
     # bounded — date markers live near the top of real pages.
-    body = etree.body_of(doc)
     if body is not None:
         scanned = 0
         for node in etree.iter_descendants(body):
@@ -1146,7 +1233,10 @@ def extract_date_fast(doc: Element, url: str, extensive: bool = False) -> str:
             if not attrib or node.tag in ("script", "style"):
                 continue
             idclass = attrib.get("class", "") + " " + attrib.get("id", "")
-            if len(idclass) > 1 and _RX_DATE_CLASS.search(idclass):
+            if len(idclass) > 1 and _RX_DATE_CLASS.search(
+                    _RX_CAMEL_SPLIT.sub(" ", idclass)):
+                if _in_comment_area(node):
+                    continue
                 blob = trim(etree.iter_text(node, " "))[:512]
                 date = _parse_date_string(blob)
                 if date:
@@ -1159,14 +1249,18 @@ def extract_date_fast(doc: Element, url: str, extensive: bool = False) -> str:
     if reserve:
         return reserve
 
-    # 7. Bounded visible-text scan (first match in body — htmldate's
-    # search_page fast behaviour).
-    if body is not None:
-        # iter_text: element boundaries become separators, so a date
-        # glued to a neighboring element's text ("am09.02.2022Habt")
-        # keeps its word boundaries
-        text = etree.iter_text(body, "\n")[:50000]
-        date = _parse_date_string(text)
+    # 7. Bounded visible-text scan (htmldate's search_page behaviour;
+    # explicit publication phrases were already consulted in 5a). An
+    # announced modification stamp ("Letzte Änderung: 14.01.2022",
+    # "Last updated ...") still names the article better than the
+    # first bare date in reading order, which on portals is often a
+    # sidebar teaser's.
+    if marker_text:
+        for m in _RX_MOD_MARKER.finditer(marker_text):
+            date = _parse_date_string(marker_text[m.end():m.end() + 48])
+            if date:
+                return date
+        date = _parse_date_string(marker_text)
         if date:
             return date
 

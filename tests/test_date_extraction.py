@@ -105,3 +105,60 @@ def test_extensive_frequency_vote():
 def test_invalid_dates_rejected():
     assert _parse_date_string("1794-07-28") == ""
     assert _parse_date_string("2055-13-40") == ""
+
+
+def test_comment_time_skipped():
+    # A bare <time> inside the comment section is a comment stamp —
+    # the article's own <time> must win even when it comes later.
+    d = doc(
+        '<html><body><div id="comments">'
+        '<time datetime="2019-08-24T03:36:11+02:00">24. August 2019</time></div>'
+        '<div class="entry"><time datetime="2019-08-16">16.08.2019</time></div>'
+        "</body></html>"
+    )
+    assert extract_date_fast(d, "") == "2019-08-16"
+
+
+def test_comments_open_status_class_is_not_comment_area():
+    # WordPress puts "comments-open" on the article container itself.
+    d = doc(
+        '<html><body><div class="post comments-open">'
+        '<time datetime="2012-08-02">2. August 2012</time></div></body></html>'
+    )
+    assert extract_date_fast(d, "") == "2012-08-02"
+
+
+def test_publication_marker_beats_dateclass_container():
+    # "Veröffentlicht am <date>" states the publication; a date-classed
+    # sidebar container earlier in the page must not override it.
+    d = doc(
+        '<html><body><div class="byline date">24. August 2019</div>'
+        "<p>Veröffentlicht am 16.08.2019</p></body></html>"
+    )
+    assert extract_date_fast(d, "") == "2019-08-16"
+
+
+def test_itemprop_on_span():
+    # Microdata dates are not limited to <time> elements.
+    d = doc(
+        '<html><body><span itemprop="datePublished" '
+        'content="2020-03-18T13:15:00.000+01:00">18.03.2020</span>'
+        "<p>later 26.03.2020</p></body></html>"
+    )
+    assert extract_date_fast(d, "") == "2020-03-18"
+
+
+def test_camelcase_date_class():
+    d = doc(
+        '<html><body><span class="liveArticleAuthorDateBlockLabel"></span>'
+        '<div class="articleDate">19.11.2021</div></body></html>'
+    )
+    assert extract_date_fast(d, "") == "2021-11-19"
+
+
+def test_modified_marker_beats_first_bare_date():
+    d = doc(
+        "<html><body><p>Eintrag vom 31.05.2021 in der Liste</p>"
+        "<p>Letzte Änderung: 14.01.2022 um 09:25</p></body></html>"
+    )
+    assert extract_date_fast(d, "") == "2022-01-14"
