@@ -60,22 +60,28 @@ def compare_external_extraction(
 
 
 def _candidates(cleaned_doc: Element, options):
-    """external.go:103-161 — user candidates first, then the built-in
-    readability-style scorer."""
+    """external.go:103-161 — user candidates (Others) first, then the
+    readability slot, then the distiller slot; a pre-computed
+    Readability/Distiller candidate replaces the built-in extractor in
+    its slot (external.go:129-137/:143-148)."""
     from .readability import readability_parse
 
     if options.fallback_candidates:
         for candidate in options.fallback_candidates:
             if candidate is not None:
                 yield candidate
-    yield readability_parse(
-        cleaned_doc,
-        exclude_tables=bool(options is not None and options.exclude_tables),
-    )
-    # Second slot (the reference's distiller position — external.go:141-158,
-    # consulted only while the extraction is still below MinExtractedSize):
-    # a boilerpipe-style block classifier, structurally different from the
-    # readability scorer so it catches pages the first candidate misses.
+    if getattr(options, "fallback_readability", None) is not None:
+        yield options.fallback_readability
+    else:
+        yield readability_parse(
+            cleaned_doc,
+            exclude_tables=bool(options is not None and options.exclude_tables),
+        )
+    if getattr(options, "fallback_distiller", None) is not None:
+        yield options.fallback_distiller
+        return
+    # Built-in distiller slot (external.go:141-158) — consulted only
+    # while the extraction is still below MinExtractedSize.
     yield distiller_candidate(cleaned_doc)
 
 

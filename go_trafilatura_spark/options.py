@@ -30,7 +30,13 @@ class Options:
     original_url: str | None = None
     target_language: str = ""
     enable_fallback: bool = False
+    # FallbackCandidates (core-options.go:181-199): Others = user
+    # candidate trees tried first; Readability/Distiller = pre-computed
+    # trees that REPLACE the built-in extractors in their slot
+    # (external.go:129-137/:143-148).
     fallback_candidates: list | None = None
+    fallback_readability: object | None = None
+    fallback_distiller: object | None = None
     focus: int = BALANCED
     exclude_comments: bool = False
     exclude_tables: bool = False

@@ -239,3 +239,24 @@ def test_distill_preserves_inline_markup():
     assert res is not None
     assert etree.get_elements_by_tag(res, "b")
     assert etree.get_elements_by_tag(res, "a")
+
+
+def test_fallback_slot_overrides():
+    # FallbackCandidates.Readability/Distiller (core-options.go:181-199)
+    # replace the built-in extractors in their slots.
+    import go_trafilatura_spark as gts
+    marker = ("Prose long enough to clear the minimum extracted size gate "
+              "when the override candidate is accepted by arbitration, with "
+              "plenty of additional filler words to comfortably exceed two "
+              "hundred and fifty characters of running text in this single "
+              "paragraph of the injected override document for the test.")
+    override = etree.new_element("div")
+    p = etree.sub_element(override, "p")
+    etree.set_text(p, marker)
+    # page whose own extraction comes up empty -> fallback decides
+    html = b"<html><body><div><a href='/'>nav</a></div></body></html>"
+    res = gts.extract(html, gts.Options(
+        enable_fallback=True, fallback_distiller=override,
+        fallback_readability=etree.new_element("div"),
+        has_essential_metadata=False))
+    assert marker.split()[0] in res.content_text
