@@ -1030,6 +1030,14 @@ _RX_MOD_MARKER = stdlib_re.compile(
     r"aktualisiert\s+am|(?:last\s+)?updated\s+on|last\s+updated|"
     r"mis\s+[àa]\s+jour|[uú]ltima\s+actualizaci[óo]n)\s*:?\s*")
 
+# C-level substring triggers gating the marker regex scans: every
+# regex branch contains one of these literals, so "no trigger in the
+# lowercased text" proves "no match" without running the alternation.
+_PUB_MARKER_KEYS = ("veröffentlicht", "veroffentlicht", "erschienen",
+                    "erstellt", "publi", "pubbli", "posted", "notizia")
+_MOD_MARKER_KEYS = ("letzte", "zuletzt", "aktualisiert", "updated",
+                    "jour", "actualizaci")
+
 
 def _parse_date_string(s: str) -> str:
     """First VALID date in the string, trying patterns in priority
@@ -1041,6 +1049,15 @@ def _parse_date_string(s: str) -> str:
     # Every supported pattern needs digits; the expensive month-name
     # alternations additionally need a plausible year nearby.
     if not s or not any(ch.isdigit() for ch in s):
+        return ""
+    # Every 4-digit-year pattern (1900-2099) necessarily contains the
+    # substring "19" or "20" — two C-level scans gate five finditer
+    # passes on year-less text (the common case on date-free pages).
+    if "20" not in s and "19" not in s:
+        for m in _RX_DMY2_DATE.finditer(s):
+            d = _valid_date(2000 + int(m.group(3)), int(m.group(2)), int(m.group(1)))
+            if d:
+                return d
         return ""
     for m in _RX_ISO_DATE.finditer(s):
         d = _valid_date(int(m.group(1)), int(m.group(2)), int(m.group(3)))
@@ -1118,7 +1135,8 @@ def _scan_all_dates(text: str) -> list[str]:
     return out
 
 
-def extract_date_fast(doc: Element, url: str, extensive: bool = False) -> str:
+def extract_date_fast(doc: Element, url: str, extensive: bool = False,
+                      index=None) -> str:
     """htmldate-style publish-date cascade with original-date preference
     (go-htmldate runs with UseOriginalDate=true — metadata.go:98):
     url full date → published meta → time/abbr elements → JSON-LD →
@@ -1140,7 +1158,8 @@ def extract_date_fast(doc: Element, url: str, extensive: bool = False) -> str:
     if url_date:
         return url_date
 
-    for node in etree.get_elements_by_tag(doc, "meta"):
+    for node in (index.of_tag("meta") if index is not None
+                 else etree.get_elements_by_tag(doc, "meta")):
         key = (node.get("property") or node.get("name") or node.get("itemprop")).lower()
         if key in _DATE_META_PUBLISHED:
             date = _parse_date_string(node.get("content"))
@@ -1150,7 +1169,8 @@ def extract_date_fast(doc: Element, url: str, extensive: bool = False) -> str:
             reserve = _parse_date_string(node.get("content"))
 
     # 3. <time> and <abbr> elements (published markers first)
-    time_nodes = etree.get_elements_by_tag(doc, "time")
+    time_nodes = (index.of_tag("time") if index is not None
+                  else etree.get_elements_by_tag(doc, "time"))
     for node in time_nodes:
         itemprop = node.get("itemprop").lower()
         if itemprop in ("datepublished", "datecreated") or node.get("pubdate"):
@@ -1166,7 +1186,8 @@ def extract_date_fast(doc: Element, url: str, extensive: bool = False) -> str:
         date = _parse_date_string(node.get("datetime") or etree.text_content(node))
         if date:
             return date
-    for node in etree.get_elements_by_tag(doc, "abbr"):
+    for node in (index.of_tag("abbr") if index is not None
+                 else etree.get_elements_by_tag(doc, "abbr")):
         if _RX_DATE_CLASS.search(node.get("class")):
             date = _parse_date_string(node.get("title") or etree.text_content(node))
             if date:
@@ -1174,8 +1195,12 @@ def extract_date_fast(doc: Element, url: str, extensive: bool = False) -> str:
 
     # 3b. Microdata on arbitrary elements (htmldate's itemprop scan is
     # not limited to <time>): <span itemprop="datePublished"
-    # content="...">. Modified stamps feed the reserve.
-    for node in etree.iter_descendants(doc):
+    # content="...">. Modified stamps feed the reserve. The shared
+    # TagIndex element list (one doc-order walk per document, built by
+    # extract_metadata) replaces a fresh traversal.
+    all_elements = (index.elements if index is not None
+                    else etree.iter_descendants(doc))
+    for node in all_elements:
         itemprop = node.attrib.get("itemprop") if node.attrib else None
         if not itemprop:
             continue
@@ -1218,17 +1243,23 @@ def extract_date_fast(doc: Element, url: str, extensive: bool = False) -> str:
         # cost; real markers cluster near the top but listing layouts
         # can push the article body past 50 KB.
         marker_text = etree.iter_text(body, "\n")[:300000]
-        for m in _RX_PUB_MARKER.finditer(marker_text):
-            date = _parse_date_string(marker_text[m.end():m.end() + 48])
-            if date:
-                return date
+        marker_low = marker_text.lower()
+        if any(k in marker_low for k in _PUB_MARKER_KEYS):
+            for m in _RX_PUB_MARKER.finditer(marker_text):
+                date = _parse_date_string(marker_text[m.end():m.end() + 48])
+                if date:
+                    return date
 
     # 5b. Date-classed visible containers (htmldate DATE_EXPRESSIONS).
     # Attribute-less nodes are skipped on the fast path and the scan is
-    # bounded — date markers live near the top of real pages.
+    # bounded — date markers live near the top of real pages. The
+    # shared index list covers the whole doc; head elements carry no
+    # date-classed containers (the parser moves stray flow content
+    # into body), so the scan domain is equivalent.
     if body is not None:
         scanned = 0
-        for node in etree.iter_descendants(body):
+        for node in (index.elements if index is not None
+                     else etree.iter_descendants(body)):
             attrib = node.attrib
             if not attrib or node.tag in ("script", "style"):
                 continue
@@ -1256,10 +1287,11 @@ def extract_date_fast(doc: Element, url: str, extensive: bool = False) -> str:
     # first bare date in reading order, which on portals is often a
     # sidebar teaser's.
     if marker_text:
-        for m in _RX_MOD_MARKER.finditer(marker_text):
-            date = _parse_date_string(marker_text[m.end():m.end() + 48])
-            if date:
-                return date
+        if any(k in marker_low for k in _MOD_MARKER_KEYS):
+            for m in _RX_MOD_MARKER.finditer(marker_text):
+                date = _parse_date_string(marker_text[m.end():m.end() + 48])
+                if date:
+                    return date
         date = _parse_date_string(marker_text)
         if date:
             return date
@@ -1267,7 +1299,8 @@ def extract_date_fast(doc: Element, url: str, extensive: bool = False) -> str:
     if extensive:
         # 8. Description/title meta content (visible-date phrasing like
         # "Notizia del 14 Gennaio 2020" often survives only there).
-        for node in etree.get_elements_by_tag(doc, "meta"):
+        for node in (index.of_tag("meta") if index is not None
+                 else etree.get_elements_by_tag(doc, "meta")):
             key = (node.get("property") or node.get("name")).lower()
             if key in ("description", "og:description", "og:title", "twitter:description"):
                 date = _parse_date_string(node.get("content"))
@@ -1375,7 +1408,8 @@ def extract_metadata(doc: Element, options) -> Metadata:
             options.date_mode == "extensive"
             or (options.date_mode == "default" and getattr(options, "enable_fallback", False))
         )
-        metadata.date = extract_date_fast(doc, metadata.url, extensive=extensive)
+        metadata.date = extract_date_fast(
+            doc, metadata.url, extensive=extensive, index=idx())
 
     if metadata.sitename == "":
         metadata.sitename = extract_dom_sitename(doc)
