@@ -173,24 +173,33 @@ def _parse_group_uncached(selector: str) -> list[CompoundSelector]:
     return group
 
 
-def _candidates(root: Element, sels: list[CompoundSelector]) -> list[Element]:
+def _candidates(root: Element, sels: list[CompoundSelector],
+                index=None) -> list[Element]:
     """Traversal pre-filter: when every selector in the group targets
     the same final tag, walk only those elements (doc order preserved)
     instead of the whole tree — most metadata selectors are shaped
-    'meta[...]' and this cuts the scan by ~100×."""
+    'meta[...]' and this cuts the scan by ~100×. An ``index``
+    (selectors.TagIndex built on this root) replaces the walk with a
+    prebuilt doc-order lookup."""
     tags = {s._last.tag if s._last is not None else None for s in sels}
     if len(tags) == 1:
         tag = tags.pop()
         if tag is not None and tag != "*":
+            if index is not None:
+                return index.of_tag(tag)
             return get_elements_by_tag(root, tag)
+    if index is not None:
+        return index.elements
     return get_elements_by_tag(root, "*")
 
 
-def query_all(root: Element, selector: str | list[CompoundSelector]) -> list[Element]:
-    """dom.QuerySelectorAll — all matching descendants in doc order."""
+def query_all(root: Element, selector: str | list[CompoundSelector],
+              index=None) -> list[Element]:
+    """dom.QuerySelectorAll — all matching descendants in doc order.
+    ``index`` must have been built on ``root`` itself (not a subtree)."""
     sels = parse_group(selector) if isinstance(selector, str) else selector
     out = []
-    for el in _candidates(root, sels):
+    for el in _candidates(root, sels, index):
         for sel in sels:
             if sel.matches(el):
                 out.append(el)
@@ -198,10 +207,12 @@ def query_all(root: Element, selector: str | list[CompoundSelector]) -> list[Ele
     return out
 
 
-def query(root: Element, selector: str | list[CompoundSelector]) -> Element | None:
-    """dom.QuerySelector — first matching descendant in doc order."""
+def query(root: Element, selector: str | list[CompoundSelector],
+          index=None) -> Element | None:
+    """dom.QuerySelector — first matching descendant in doc order.
+    ``index`` must have been built on ``root`` itself (not a subtree)."""
     sels = parse_group(selector) if isinstance(selector, str) else selector
-    for el in _candidates(root, sels):
+    for el in _candidates(root, sels, index):
         for sel in sels:
             if sel.matches(el):
                 return el

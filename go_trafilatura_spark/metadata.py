@@ -243,10 +243,10 @@ _OG_SELECTOR = css.parse_group('meta[property^="og:"]')
 _HEAD_META_CONTENT = css.parse_group("head meta[content]")
 
 
-def extract_open_graph_meta(doc: Element) -> Metadata:
+def extract_open_graph_meta(doc: Element, index=None) -> Metadata:
     """metadata.go:368-409."""
     metadata = Metadata()
-    for node in css.query_all(doc, _OG_SELECTOR):
+    for node in css.query_all(doc, _OG_SELECTOR, index):
         prop = trim(node.get("property"))
         content = trim(html_mod.unescape(node.get("content")))
         if content == "":
@@ -271,9 +271,9 @@ def extract_open_graph_meta(doc: Element) -> Metadata:
     return metadata
 
 
-def examine_meta(doc: Element) -> Metadata:
+def examine_meta(doc: Element, index=None) -> Metadata:
     """metadata.go:268-365."""
-    metadata = extract_open_graph_meta(doc)
+    metadata = extract_open_graph_meta(doc, index)
     if (
         metadata.title and metadata.author and metadata.url
         and metadata.description and metadata.sitename and metadata.image
@@ -282,7 +282,7 @@ def examine_meta(doc: Element) -> Metadata:
         return metadata
 
     tmp_sitename = ""
-    for node in css.query_all(doc, _HEAD_META_CONTENT):
+    for node in css.query_all(doc, _HEAD_META_CONTENT, index):
         content = node.get("content")
         content = RX_HTML_STRIP_TAG.sub("", content)
         content = html_mod.unescape(content)
@@ -467,7 +467,7 @@ _JSONLD_SELECTORS = css.parse_group(
 )
 
 
-def decode_json_ld(doc: Element) -> tuple[list, list, list]:
+def decode_json_ld(doc: Element, index=None) -> tuple[list, list, list]:
     """metadata-json.go:151-300."""
     persons: list[SchemaData] = []
     organizations: list[SchemaData] = []
@@ -514,7 +514,7 @@ def decode_json_ld(doc: Element) -> tuple[list, list, list]:
                     if isinstance(item, dict):
                         find_important(item, schema_data)
 
-    for script in css.query_all(doc, _JSONLD_SELECTORS):
+    for script in css.query_all(doc, _JSONLD_SELECTORS, index):
         json_text = etree.text_content(script).strip()
         json_text = html_mod.unescape(json_text)
         if not json_text:
@@ -548,10 +548,10 @@ def decode_json_ld(doc: Element) -> tuple[list, list, list]:
     return persons, organizations, articles
 
 
-def extract_json_ld(options, doc: Element, original: Metadata) -> Metadata:
+def extract_json_ld(options, doc: Element, original: Metadata, index=None) -> Metadata:
     """metadata-json.go:23-149."""
     metadata = Metadata()
-    persons, organizations, articles = decode_json_ld(doc)
+    persons, organizations, articles = decode_json_ld(doc, index)
 
     for article in articles:
         if metadata.author == "":
@@ -736,11 +736,11 @@ def extract_dom_author(doc: Element, index=None) -> str:
     return ""
 
 
-def extract_dom_url(doc: Element) -> str:
+def extract_dom_url(doc: Element, index=None) -> str:
     """metadata.go:503-540."""
     url = ""
     for selector in _URL_SELECTORS:
-        element = css.query(doc, selector)
+        element = css.query(doc, selector, index)
         if element is None:
             continue
         href = trim(element.get("href"))
@@ -749,7 +749,7 @@ def extract_dom_url(doc: Element) -> str:
             break
 
     if url.startswith("/"):
-        for node in css.query_all(doc, _HEAD_META_CONTENT):
+        for node in css.query_all(doc, _HEAD_META_CONTENT, index):
             name = trim(node.get("name"))
             prop = trim(node.get("property"))
             attr_type = str_or(name, prop)
@@ -793,7 +793,7 @@ def extract_dom_categories(doc: Element, index=None) -> list[str]:
 
     if not categories:
         merged = 'head meta[property="article:section"], head meta[name*="subject"]'
-        for node in css.query_all(doc, merged):
+        for node in css.query_all(doc, merged, index):
             content = trim(node.get("content"))
             if content:
                 categories.append(content)
@@ -1215,7 +1215,7 @@ def extract_date_fast(doc: Element, url: str, extensive: bool = False,
                 node.get("content") or node.get("datetime"))
 
     # 4. JSON-LD datePublished / dateCreated (dateModified as reserve)
-    for script in css.query_all(doc, _JSONLD_SELECTORS):
+    for script in css.query_all(doc, _JSONLD_SELECTORS, index):
         text = etree.text_content(script)
         m = stdlib_re.search(
             r'"(?:datePublished|dateCreated)"\s*:\s*"([^"]+)"', text
@@ -1356,20 +1356,21 @@ def extract_date_fast(doc: Element, url: str, extensive: bool = False,
 # ---------------------------------------------------------------------------
 
 def extract_metadata(doc: Element, options) -> Metadata:
-    metadata = examine_meta(doc)
-    metadata.author = remove_blacklisted_authors(metadata.author, options)
-
-    metadata = extract_json_ld(options, doc, metadata)
-    metadata.author = remove_blacklisted_authors(metadata.author, options)
-
-    # One lazily-built doc-order tag index shared by every DOM selector
-    # scan below (the tree is not mutated between them).
+    # One lazily-built doc-order tag index shared by every meta/DOM
+    # selector scan in the cascade (the tree is not mutated between
+    # them).
     _index: list = []
 
     def idx():
         if not _index:
             _index.append(selectors.TagIndex(doc))
         return _index[0]
+
+    metadata = examine_meta(doc, idx())
+    metadata.author = remove_blacklisted_authors(metadata.author, options)
+
+    metadata = extract_json_ld(options, doc, metadata, idx())
+    metadata.author = remove_blacklisted_authors(metadata.author, options)
 
     if metadata.title == "":
         metadata.title = extract_dom_title(doc, idx())
@@ -1379,7 +1380,7 @@ def extract_metadata(doc: Element, options) -> Metadata:
         metadata.author = remove_blacklisted_authors(metadata.author, options)
 
     if metadata.url == "":
-        metadata.url = extract_dom_url(doc)
+        metadata.url = extract_dom_url(doc, idx())
 
     if metadata.url != "":
         valid_url, is_abs = validate_url(metadata.url, options.original_url)
