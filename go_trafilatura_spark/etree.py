@@ -657,6 +657,7 @@ class _TreeBuilder(HTMLParser):
         self.body.parent = self.html
         self.html.children.append(self.body)
         self.stack: list[Element] = []  # open elements below body
+        self.n_open_p = 0   # open <p> count: skips the p-closer stack walk
         self.in_body = False
         # List of active formatting elements (_FmtEntry | _AFE_MARKER).
         self.afe: list = []
@@ -689,7 +690,9 @@ class _TreeBuilder(HTMLParser):
         del self.stack[i:]
         for el in dropped:
             t = el.tag
-            if t in ("td", "th", "caption"):
+            if t == "p":
+                self.n_open_p -= 1
+            elif t in ("td", "th", "caption"):
                 self._clear_afe_to_marker()
             elif t in ("svg", "math"):
                 self.foreign -= 1
@@ -890,7 +893,9 @@ class _TreeBuilder(HTMLParser):
     _P_STOPS = tuple(_SCOPE_BARRIERS)
 
     def _autoclose(self, tag: str) -> None:
-        if tag in _P_CLOSERS:
+        # n_open_p == 0 means the p-closer walk cannot pop anything —
+        # skip the whole-stack scan (the common nested-div case).
+        if self.n_open_p and tag in _P_CLOSERS:
             self._close_upto(("p",), self._P_STOPS)
         spec = self._AUTOCLOSE_MAP.get(tag)
         if spec is not None:
@@ -974,7 +979,9 @@ class _TreeBuilder(HTMLParser):
         # everything) must not push recursion limits in later tree ops.
         if not (flags & _F_VOID) and len(self.stack) < 400:
             self.stack.append(el)
-            if tag in ("svg", "math"):
+            if tag == "p":
+                self.n_open_p += 1
+            elif tag in ("svg", "math"):
                 self.foreign += 1
         if flags & _F_FORMATTING:
             self._push_formatting(el)
@@ -1023,6 +1030,7 @@ class _TreeBuilder(HTMLParser):
                 return
             if code == 2:  # body
                 self.stack.clear()
+                self.n_open_p = 0
                 self.foreign = 0
                 self.in_body = True
                 return
