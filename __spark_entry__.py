@@ -168,6 +168,28 @@ def q_quality_scores(spark, sf_dir):
     )
 
 
+def q_gopher_repetition(spark, sf_dir):
+    df = textops.gopher_repetition(_docs(spark, sf_dir))
+    return df.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        "top2_char_frac", "top3_char_frac", "dup5_char_frac",
+    )
+
+
+def q_gopher_quality(spark, sf_dir):
+    df = textops.gopher_quality_filter(_docs(spark, sf_dir))
+    return df.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "mean_word_len", "n_must_have",
+        "top2_char_frac", "dup5_char_frac",
+        "ok_min_tokens", "ok_max_tokens", "ok_word_len",
+        "ok_stopwords", "ok_top2", "ok_dup5", "keep",
+    )
+
+
 def q_lang_id(spark, sf_dir):
     df = textops.lang_id_heuristic(_docs(spark, sf_dir))
     casts = [F.col(f"hits_{lg}").cast("bigint").alias(f"hits_{lg}") for lg in LANG_STOPWORDS]
@@ -377,6 +399,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "ngram_jaccard": q_ngram_jaccard,
         "quality_scores": q_quality_scores,
+        "gopher_repetition": q_gopher_repetition,
+        "gopher_quality": q_gopher_quality,
         "lang_id": q_lang_id,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
@@ -533,6 +557,73 @@ SELECT doc_id,
        len(list_distinct({_TOKENS})) AS n_unique,
        len(list_filter({_TOKENS}, t -> t IN ({en}))) / len({_TOKENS}) AS stopword_ratio
 FROM documents"""
+
+
+def _sql_gopher_repetition() -> str:
+    return r"""
+WITH toks AS (
+  SELECT doc_id,
+         length(trim(text)) AS n_chars,
+         list_slice(regexp_split_to_array(trim(text), '\s+'), 1, 2000) AS t
+  FROM documents WHERE length(trim(text)) > 0
+),
+grams AS (
+  SELECT doc_id, n_chars, len(t) AS n_tokens,
+         CASE WHEN len(t) >= 2 THEN list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1]) ELSE [] END AS g2,
+         CASE WHEN len(t) >= 3 THEN list_transform(generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) ELSE [] END AS g3,
+         CASE WHEN len(t) >= 5 THEN list_transform(generate_series(1, len(t)-4), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]) ELSE [] END AS g5
+  FROM toks
+),
+structs AS (
+  SELECT doc_id, n_chars, n_tokens,
+         list_max(list_transform(list_distinct(g2), x -> {'c': len(list_filter(g2, y -> y = x)), 'l': length(x), 'g': x})) AS top2,
+         list_max(list_transform(list_distinct(g3), x -> {'c': len(list_filter(g3, y -> y = x)), 'l': length(x), 'g': x})) AS top3,
+         list_sum(list_transform(list_distinct(g5), x -> CASE WHEN len(list_filter(g5, y -> y = x)) >= 2 THEN len(list_filter(g5, y -> y = x)) * length(x) ELSE 0 END)) AS dup5
+  FROM grams
+)
+SELECT doc_id, n_tokens, n_chars,
+       round(coalesce(top2.c * top2.l / n_chars, 0.0), 6) AS top2_char_frac,
+       round(coalesce(top3.c * top3.l / n_chars, 0.0), 6) AS top3_char_frac,
+       round(coalesce(dup5 / n_chars, 0.0), 6) AS dup5_char_frac
+FROM structs"""
+
+
+def _sql_gopher_quality() -> str:
+    must = "'the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'"
+    return rf"""
+WITH toks AS (
+  SELECT doc_id,
+         length(trim(text)) AS n_chars,
+         list_slice(regexp_split_to_array(trim(text), '\s+'), 1, 2000) AS t
+  FROM documents WHERE length(trim(text)) > 0
+),
+grams AS (
+  SELECT doc_id, n_chars, t, len(t) AS n_tokens,
+         CASE WHEN len(t) >= 2 THEN list_transform(generate_series(1, len(t)-1), i -> t[i] || ' ' || t[i+1]) ELSE [] END AS g2,
+         CASE WHEN len(t) >= 5 THEN list_transform(generate_series(1, len(t)-4), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]) ELSE [] END AS g5
+  FROM toks
+),
+metrics AS (
+  SELECT doc_id, n_tokens,
+         round(list_sum(list_transform(t, x -> length(x))) / n_tokens, 6) AS mean_word_len,
+         list_sum(list_transform(t, x -> length(x))) / n_tokens AS mwl_raw,
+         len(list_intersect(t, [{must}])) AS n_must_have,
+         round(coalesce(list_max(list_transform(list_distinct(g2), x -> {{'c': len(list_filter(g2, y -> y = x)), 'l': length(x), 'g': x}})).c
+               * list_max(list_transform(list_distinct(g2), x -> {{'c': len(list_filter(g2, y -> y = x)), 'l': length(x), 'g': x}})).l
+               / n_chars, 0.0), 6) AS top2_char_frac,
+         round(coalesce(list_sum(list_transform(list_distinct(g5), x -> CASE WHEN len(list_filter(g5, y -> y = x)) >= 2 THEN len(list_filter(g5, y -> y = x)) * length(x) ELSE 0 END)) / n_chars, 0.0), 6) AS dup5_char_frac
+  FROM grams
+)
+SELECT doc_id, n_tokens, mean_word_len, n_must_have, top2_char_frac, dup5_char_frac,
+       n_tokens >= 50 AS ok_min_tokens,
+       n_tokens <= 100000 AS ok_max_tokens,
+       mwl_raw >= 3 AND mwl_raw <= 10 AS ok_word_len,
+       n_must_have >= 2 AS ok_stopwords,
+       top2_char_frac <= 0.20 AS ok_top2,
+       dup5_char_frac <= 0.15 AS ok_dup5,
+       (n_tokens >= 50 AND n_tokens <= 100000 AND mwl_raw >= 3 AND mwl_raw <= 10
+        AND n_must_have >= 2 AND top2_char_frac <= 0.20 AND dup5_char_frac <= 0.15) AS keep
+FROM metrics"""
 
 
 def _sql_extract_synth() -> str:
@@ -728,6 +819,8 @@ SELECT a AS doc_id, min(b) AS cluster_id,
 FROM reach GROUP BY a""",
         "ngram_jaccard": _sql_jaccard(),
         "quality_scores": _sql_quality(),
+        "gopher_repetition": _sql_gopher_repetition(),
+        "gopher_quality": _sql_gopher_quality(),
         "lang_id": _sql_lang_id(),
         "ann_bruteforce": """
 SELECT e.vec_id,

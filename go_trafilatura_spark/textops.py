@@ -533,3 +533,108 @@ def embedding_neardup_pairs(emb: DataFrame, threshold: float = 0.99,
         .select("vec_a", "vec_b", cosine_expr(F.col("ea"), F.col("eb")).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+# -- Gopher-style repetition signals ------------------------------------------
+
+def gopher_repetition(df: DataFrame, max_tokens: int = 2000,
+                      token_stats: bool = False) -> DataFrame:
+    """Repetition quality signals in the style of the Gopher corpus
+    filters (Rae et al. 2021, Table A1, public): the character fraction
+    covered by the single most frequent word 2-/3-gram, and the
+    character fraction covered by duplicated (count ≥ 2) 5-grams.
+
+    Pure projection — per-document higher-order expressions, all
+    JVM-side whole-stage codegen, no shuffle and no Python. The
+    distinct-count is O(k·n) per doc in the worst case, so tokens are
+    capped at ``max_tokens`` (boilerplate repetition shows up long
+    before 2000 tokens). Ties for the top n-gram break
+    deterministically by (count, gram length, gram) — the same struct
+    ordering the DuckDB oracle's list_max applies."""
+    def grams(n: int) -> str:
+        join = " || ' ' || ".join(f"t[i+{k}]" for k in range(n))
+        return (f"CASE WHEN size(t) >= {n} THEN "
+                f"transform(sequence(0, size(t)-{n}), i -> {join}) "
+                f"ELSE array() END")
+
+    def top_struct(g: str) -> str:
+        return (f"array_max(transform(array_distinct({g}), x -> "
+                f"struct(size(filter({g}, y -> y = x)) AS c, "
+                f"length(x) AS l, x AS g)))")
+
+    toks = with_tokens(df).where(F.length(F.trim("text")) > 0).select(
+        "doc_id",
+        F.length(F.trim("text")).alias("n_chars"),
+        F.expr(f"slice(tokens, 1, {max_tokens})").alias("t"),
+    )
+    with_grams = toks.select(
+        "doc_id", "n_chars",
+        F.size("t").alias("n_tokens"),
+        F.expr(grams(2)).alias("g2"),
+        F.expr(grams(3)).alias("g3"),
+        F.expr(grams(5)).alias("g5"),
+        *(["t"] if token_stats else []),
+    )
+    extra = []
+    if token_stats:
+        extra = [
+            F.col("t"),
+            F.expr("aggregate(t, 0L, (a, x) -> a + length(x))")
+            .cast("double").alias("token_chars"),
+        ]
+    return with_grams.select(
+        "doc_id", "n_tokens", "n_chars",
+        *extra,
+        F.round(F.coalesce(
+            F.expr(f"({top_struct('g2')}).c * ({top_struct('g2')}).l")
+            .cast("double") / F.col("n_chars"), F.lit(0.0)), 6
+        ).alias("top2_char_frac"),
+        F.round(F.coalesce(
+            F.expr(f"({top_struct('g3')}).c * ({top_struct('g3')}).l")
+            .cast("double") / F.col("n_chars"), F.lit(0.0)), 6
+        ).alias("top3_char_frac"),
+        F.round(F.coalesce(
+            F.expr(
+                "aggregate(transform(array_distinct(g5), x -> "
+                "struct(size(filter(g5, y -> y = x)) AS c, length(x) AS l)), "
+                "0L, (acc, s) -> acc + CASE WHEN s.c >= 2 "
+                "THEN CAST(s.c * s.l AS BIGINT) ELSE 0L END)"
+            ).cast("double") / F.col("n_chars"), F.lit(0.0)), 6
+        ).alias("dup5_char_frac"),
+    )
+
+
+def gopher_quality_filter(df: DataFrame) -> DataFrame:
+    """Gopher document-quality acceptance rule (Rae et al. 2021,
+    Table A1, public thresholds): token count in [50, 100k], mean word
+    length in [3, 10], ≥ 2 of the 8 "must-have" English stopwords, top
+    2-gram character fraction ≤ 0.20 and duplicated 5-gram character
+    fraction ≤ 0.15. The repetition metrics and the token stats extend
+    one projection over the same scan — per-doc flags plus the final
+    keep bit, pure projection, no shuffle and no join."""
+    must_have = ("the", "be", "to", "of", "and", "that", "have", "with")
+    in_list = ", ".join(f"'{w}'" for w in must_have)
+    rep = gopher_repetition(df, token_stats=True)
+    mean_len = F.col("token_chars") / F.col("n_tokens")
+    flags = rep.select(
+        "doc_id",
+        F.col("n_tokens"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.expr(f"size(array_intersect(t, array({in_list})))")
+        .cast("bigint").alias("n_must_have"),
+        "top2_char_frac", "dup5_char_frac",
+        (F.col("n_tokens") >= 50).alias("ok_min_tokens"),
+        (F.col("n_tokens") <= 100000).alias("ok_max_tokens"),
+        ((mean_len >= 3) & (mean_len <= 10)).alias("ok_word_len"),
+    )
+    flags = flags.select(
+        "*",
+        (F.col("n_must_have") >= 2).alias("ok_stopwords"),
+        (F.col("top2_char_frac") <= 0.20).alias("ok_top2"),
+        (F.col("dup5_char_frac") <= 0.15).alias("ok_dup5"),
+    )
+    return flags.withColumn(
+        "keep",
+        F.col("ok_min_tokens") & F.col("ok_max_tokens") & F.col("ok_word_len")
+        & F.col("ok_stopwords") & F.col("ok_top2") & F.col("ok_dup5"),
+    )

@@ -476,3 +476,60 @@ def test_dedup_clusters_chain(spark):
     assert out[2].cluster_id == 1 and not out[2].is_canonical
     assert out[3].cluster_id == 1 and not out[3].is_canonical
     assert out[10].cluster_id == 10 and out[10].is_canonical
+
+
+def test_gopher_repetition_metrics(spark):
+    from go_trafilatura_spark import textops
+
+    df = spark.createDataFrame(
+        [
+            # "a b" appears 3x (5 chars each incl. space): top2 covers
+            # 3*3=9 of 11 chars
+            (1, "a b a b a b"),
+            # no repetition
+            (2, "one two three four five six"),
+            # a 5-gram repeated twice
+            (3, "v w x y z v w x y z"),
+            (4, "   "),  # whitespace-only: filtered out
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in textops.gopher_repetition(df).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["top2_char_frac"] == round(3 * 3 / 11, 6)
+    assert rows[2]["dup5_char_frac"] == 0.0
+    # doc 3: "v w x y z" (9 chars) occurs twice among the six 5-grams
+    assert rows[3]["dup5_char_frac"] == round(2 * 9 / 19, 6)
+
+
+def test_gopher_quality_filter_flags(spark):
+    from go_trafilatura_spark import textops
+
+    # 60+ distinct words (no repeated 5-grams), several must-have
+    # stopwords, ordinary word lengths
+    good = ("the quick brown fox jumps over a lazy dog and that have "
+            "with more words of filler text to clear minimum token "
+            "count thresholds easily while keeping every single phrase "
+            "unique because repeated passages would trip gopher "
+            "duplicate ngram caps which this document must not do so "
+            "each clause introduces fresh vocabulary items")
+    df = spark.createDataFrame(
+        [
+            (1, good),                   # passes everything
+            (2, "short text only"),      # fails min tokens + stopwords
+            (3, "spam spam " * 60),      # repetition fails top2 cap
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in textops.gopher_quality_filter(df).collect()}
+    assert rows[1]["keep"] is True
+    assert rows[2]["keep"] is False and rows[2]["ok_min_tokens"] is False
+    assert rows[3]["keep"] is False and rows[3]["ok_top2"] is False
+
+
+def test_gopher_plan_has_no_exchange(spark):
+    from go_trafilatura_spark import textops
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = textops.gopher_quality_filter(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
