@@ -87,16 +87,17 @@ def winnowing_fingerprints(df: DataFrame, k_shingle: int = 3, window: int = 4) -
     selection is deterministic and a SQL oracle reproduces it exactly.
     Output: one row per distinct (doc_id, fingerprint)."""
     toks = with_tokens(df)
+    # shingles_expr carries the sub-k guard (sequence(1, 0) is
+    # DESCENDING in Spark — see its docstring); hash its output.
     shingle_hashes = F.expr(
-        f"""transform(
-              transform(sequence(1, greatest(size(tokens) - {k_shingle - 1}, 0)),
-                        i -> concat({", ' ', ".join(f"element_at(tokens, i + {j})" for j in range(k_shingle))})),
+        f"""transform({_shingles_sql(k_shingle)},
               s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint))"""
     )
     hashed = toks.select("doc_id", shingle_hashes.alias("h"))
+    # the size(h) >= window filter below keeps sequence() ascending here
     mins = F.expr(
         f"""array_distinct(transform(
-              sequence(1, greatest(size(h) - {window - 1}, 0)),
+              sequence(1, size(h) - {window - 1}),
               i -> array_min(slice(h, i, {window}))))"""
     )
     return (
@@ -134,14 +135,23 @@ def _md5_bigint(col):
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint")
 
 
-def shingles_expr(k: int = 3):
-    """SQL expression producing the array of k-token shingles (Spark
-    subscripts are 1-based via element_at)."""
+def _shingles_sql(k: int = 3) -> str:
+    """SQL text producing the array of k-token shingles (Spark
+    subscripts are 1-based via element_at). Documents shorter than k
+    tokens yield an empty array — an earlier greatest(..., 0) guard
+    was wrong: sequence(1, 0) is DESCENDING [1, 0] in Spark, and
+    element_at(tokens, 0) raises, killing the whole job on the first
+    sub-k-token document."""
     parts = ", ' ', ".join(f"element_at(tokens, i + {j})" for j in range(k))
-    return F.expr(
-        f"transform(sequence(1, greatest(size(tokens) - {k - 1}, 0)),"
-        f" i -> concat({parts}))"
+    return (
+        f"CASE WHEN size(tokens) >= {k} THEN "
+        f"transform(sequence(1, size(tokens) - {k - 1}), i -> concat({parts})) "
+        f"ELSE array() END"
     )
+
+
+def shingles_expr(k: int = 3):
+    return F.expr(_shingles_sql(k))
 
 
 # -- MinHash + LSH -----------------------------------------------------------

@@ -533,3 +533,19 @@ def test_gopher_plan_has_no_exchange(spark):
     df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     plan = textops.gopher_quality_filter(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_shingle_ops_survive_short_docs(spark):
+    # sequence(1, 0) is DESCENDING in Spark: sub-k-token docs used to
+    # throw INVALID_ARRAY_INDEX_IN_ELEMENT_AT and kill the whole job.
+    from go_trafilatura_spark import textops
+
+    df = spark.createDataFrame(
+        [(1, "single"), (2, "two tokens"),
+         (3, "a long enough document with plenty of shingles in it")],
+        "doc_id long, text string",
+    )
+    sigs = textops.minhash_signatures(df).collect()
+    assert [r["doc_id"] for r in sigs] == [3]
+    assert textops.winnowing_fingerprints(df).count() >= 1
+    assert textops.ngram_jaccard_pairs(df).count() == 0
