@@ -157,3 +157,90 @@ def start_quality_stream(
         .start()
     )
     return query, name
+
+
+def stateful_lsh_candidates_stream(
+    stream_df: DataFrame,
+    k_shingle: int = 3,
+    ttl_minutes: int = 60,
+):
+    """Streaming MinHash-LSH candidate generation — the streaming twin
+    of textops.minhash_lsh_pairs. Per-row signatures are computed with
+    JVM higher-order expressions (array_min over the hashed shingle
+    array — no groupBy, so the projection is streaming-safe), banded
+    2×2 exactly like the batch op, and each band key routes to one
+    stateful bucket registry (applyInPandasWithState keyed on
+    (band, key)). The first document to present a bucket key becomes
+    its representative; every later document with the same key emits a
+    candidate pair (rep_doc, doc_id) — the same pairs the batch
+    equi-join produces, discovered online. State is one representative
+    id per bucket, expired by processing-time TTL (the streaming
+    analogue of the batch op's hot-band cap: a degenerate bucket emits
+    one row per member, never |group|²)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        IntegerType, LongType, StructField, StructType,
+    )
+
+    from .textops import MINHASH_PERMS, MINHASH_PRIME, _shingles_sql
+
+    sig_exprs = []
+    hashes = (f"transform({_shingles_sql(k_shingle)}, "
+              f"s -> cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)"
+              f" % {MINHASH_PRIME}L)")
+    for i, (a, b) in enumerate(MINHASH_PERMS):
+        sig_exprs.append(
+            f"array_min(transform({hashes}, "
+            f"h -> ({a}L * h + {b}L) % {MINHASH_PRIME}L)) AS sig{i}"
+        )
+    sigs = (
+        stream_df.withColumn("tokens", F.split(F.trim("text"), r"\s+"))
+        .selectExpr("doc_id", *sig_exprs)
+        .where(F.col("sig0").isNotNull())  # sub-k docs have no shingles
+    )
+    # 2 bands × 2 rows — identical banding to the batch op
+    banded = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                F.xxhash64(F.lit(0), "sig0", "sig1"),
+                F.xxhash64(F.lit(1), "sig2", "sig3"),
+            )
+        ).alias("band", "bucket_key"),
+    )
+
+    out_schema = StructType([
+        StructField("band", IntegerType()),
+        StructField("bucket_key", LongType()),
+        StructField("rep_doc", LongType()),
+        StructField("doc_id", LongType()),
+        StructField("is_rep", IntegerType()),
+    ])
+    state_schema = StructType([StructField("rep_doc", LongType())])
+
+    def bucket_fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        band, bucket_key = key
+        rep = state.get[0] if state.exists else None
+        out = []
+        for pdf in pdf_iter:
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                if rep is None:
+                    rep = doc_id
+                    out.append((band, bucket_key, rep, doc_id, 1))
+                else:
+                    out.append((band, bucket_key, rep, doc_id, 0))
+        state.update((rep,))
+        state.setTimeoutDuration(ttl_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            out, columns=["band", "bucket_key", "rep_doc", "doc_id", "is_rep"])
+
+    return banded.groupBy("band", "bucket_key").applyInPandasWithState(
+        bucket_fn,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

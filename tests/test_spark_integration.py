@@ -549,3 +549,68 @@ def test_shingle_ops_survive_short_docs(spark):
     assert [r["doc_id"] for r in sigs] == [3]
     assert textops.winnowing_fingerprints(df).count() >= 1
     assert textops.ngram_jaccard_pairs(df).count() == 0
+
+
+def test_stateful_lsh_candidates_stream(spark):
+    """Streaming LSH: a near-duplicate arriving in a later micro-batch
+    matches the bucket representative registered by an earlier one."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_trafilatura_spark.streaming import stateful_lsh_candidates_stream
+
+    tmp = tempfile.mkdtemp(prefix="gts_lsh_stream_")
+    try:
+        in_dir = os.path.join(tmp, "in")
+        os.makedirs(in_dir)
+        base = ("the quick brown fox jumps over the lazy dog while the "
+                "sun rises slowly over the quiet green valley this morning")
+        schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+        pq.write_table(pa.table({"doc_id": [1, 2],
+                                 "text": [base, "totally different words "
+                                          "about spark query planning and "
+                                          "shuffle partitions in clusters "
+                                          "running big analytic workloads"]},
+                                schema=schema),
+                       os.path.join(in_dir, "batch1.parquet"))
+
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1).parquet(in_dir)
+        )
+        cands = stateful_lsh_candidates_stream(stream)
+        query = (
+            cands.writeStream.format("memory").queryName("lsh_stream")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .start()
+        )
+
+        def _wait_rows(n, timeout_s=120):
+            import time
+
+            deadline = time.time() + timeout_s
+            while time.time() < deadline:
+                if not query.isActive:
+                    raise AssertionError(f"query died: {query.exception()}")
+                got = spark.sql("select count(*) c from lsh_stream").collect()[0]["c"]
+                if got >= n:
+                    return
+                time.sleep(1)
+            raise AssertionError(f"timed out waiting for {n} rows")
+
+        _wait_rows(4)  # 2 docs × 2 bands, all representatives
+        first = spark.sql("select * from lsh_stream").collect()
+        assert all(r["is_rep"] == 1 for r in first)
+
+        # batch 2: an exact near-dup of doc 1 → must match doc 1's buckets
+        pq.write_table(pa.table({"doc_id": [9], "text": [base]}, schema=schema),
+                       os.path.join(in_dir, "batch2.parquet"))
+        _wait_rows(6)
+        rows = spark.sql(
+            "select * from lsh_stream where doc_id = 9").collect()
+        assert len(rows) == 2  # both bands
+        assert all(r["is_rep"] == 0 and r["rep_doc"] == 1 for r in rows)
+        query.stop()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
