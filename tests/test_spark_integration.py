@@ -614,3 +614,32 @@ def test_stateful_lsh_candidates_stream(spark):
         query.stop()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_textops_survive_adversarial_inputs(spark):
+    """Every corpus op must tolerate nulls, empties, unicode, extreme
+    repetition and giant single tokens without raising (one bad row
+    must never kill a 100 TB job)."""
+    from go_trafilatura_spark import textops
+
+    df = spark.createDataFrame(
+        [
+            (1, None), (2, ""), (3, "   "), (4, "x"),
+            (5, "éü中文 文字 です ね よ"),
+            (6, "a " * 5000),
+            (7, "tok" + "k" * 50000),
+            (8, "normal document with several distinct tokens present"),
+            (9, "\x00weird\x01control\x02chars here today folks"),
+        ],
+        "doc_id long, text string",
+    )
+    for fn in (
+        textops.token_counts, textops.fingerprints,
+        textops.winnowing_fingerprints, textops.exact_dedup_flags,
+        textops.minhash_signatures, textops.minhash_lsh_pairs,
+        textops.simhash, textops.dedup_clusters,
+        textops.ngram_jaccard_pairs, textops.quality_scores,
+        textops.lang_id_heuristic, textops.gopher_repetition,
+        textops.gopher_quality_filter,
+    ):
+        fn(df).count()  # must not raise
