@@ -911,6 +911,11 @@ class _TreeBuilder(HTMLParser):
             for k, v in attrs:
                 if k not in attrib:
                     attrib[k] = v if v is not None else ""
+        self._start_fast(tag, attrib)
+
+    def _start_fast(self, tag: str, attrib: dict | None) -> None:
+        # Fast-tokenizer entry: attrib is a ready dict (first
+        # occurrence wins, None values already mapped to "").
         flags = _TAG_FLAGS.get(tag, 0)
         if flags & _F_TOPLEVEL:
             if tag == "html":
@@ -1001,6 +1006,15 @@ class _TreeBuilder(HTMLParser):
         return False
 
     def handle_startendtag(self, tag: str, attrs) -> None:
+        attrib: dict | None = None
+        if attrs:
+            attrib = {}
+            for k, v in attrs:
+                if k not in attrib:
+                    attrib[k] = v if v is not None else ""
+        self._startend_fast(tag, attrib)
+
+    def _startend_fast(self, tag: str, attrib: dict | None) -> None:
         # Foreign content honors the self-closing flag (<path/>, <svg/>
         # stay empty); in HTML content "/>" on a non-void element is
         # just a start tag.
@@ -1008,12 +1022,6 @@ class _TreeBuilder(HTMLParser):
             self.foreign and tag not in VOID_ELEMENTS
             and tag not in _FOREIGN_BREAKOUT and self._in_pure_foreign()
         ):
-            attrib: dict | None = None
-            if attrs:
-                attrib = {}
-                for k, v in attrs:
-                    if k not in attrib:
-                        attrib[k] = v if v is not None else ""
             if tag in ("svg", "math"):
                 self.in_body = True
             parent = self._current()
@@ -1021,7 +1029,7 @@ class _TreeBuilder(HTMLParser):
             el.parent = parent
             parent.children.append(el)
             return
-        self.handle_starttag(tag, attrs)
+        self._start_fast(tag, attrib)
 
     def handle_endtag(self, tag: str) -> None:
         code = _END_CODE.get(tag, 0)
@@ -1152,7 +1160,7 @@ def _fast_feed(text: str, builder: "_TreeBuilder") -> None:
     n = len(text)
     i = 0
     handle_data = builder.handle_data
-    handle_start = builder.handle_starttag
+    handle_start = builder._start_fast
     handle_end = builder.handle_endtag
     handle_comment = builder.handle_comment
     find = text.find
@@ -1275,26 +1283,26 @@ def _fast_feed(text: str, builder: "_TreeBuilder") -> None:
         if sm is not None:
             tag = sm.group(1).lower()
             rawattrs = sm.group(2)
-            attrs = []
+            attrib = None
             if rawattrs:
+                attrib = {}
                 for name, rawval in _RX_SIMPLE_ATTR.findall(rawattrs):
+                    name = name.lower()
+                    if name in attrib:
+                        continue  # first occurrence wins (stdlib dict build)
                     if rawval == "":
-                        # distinguish name-only from name="" : findall
-                        # yields "" for both; name-only must be None —
-                        # but an empty quoted value is '""' (len 2), so
-                        # "" here always means no value was present
-                        attrs.append((name.lower(), None))
+                        # name-only or empty-unquoted value: both land as
+                        # "" in the attrib dict (stdlib maps None → "")
+                        attrib[name] = ""
                         continue
                     if rawval[:1] in ("'", '"'):
                         rawval = rawval[1:-1]
-                    attrs.append(
-                        (name.lower(), unescape(rawval) if "&" in rawval else rawval)
-                    )
+                    attrib[name] = unescape(rawval) if "&" in rawval else rawval
             if sm.group(3):
-                builder.handle_startendtag(tag, attrs)
+                builder._startend_fast(tag, attrib)
                 i = sm.end()
                 continue
-            handle_start(tag, attrs)
+            handle_start(tag, attrib)
             i = sm.end()
             if tag in ("script", "style"):
                 endm = _RX_RAWTEXT_END[tag].search(text, i)
@@ -1308,7 +1316,7 @@ def _fast_feed(text: str, builder: "_TreeBuilder") -> None:
         tag = m.group(0).lower()
         # attributes until ">" (respecting quotes)
         j = m.end()
-        attrs: list = []
+        attrib2: dict | None = None
         selfclose = False
         while j < n:
             ch = text[j]
@@ -1325,12 +1333,15 @@ def _fast_feed(text: str, builder: "_TreeBuilder") -> None:
             name = am.group(1).lower()
             rawval = am.group(3)
             if rawval is None:
-                val = None
+                val = ""
             else:
                 if rawval[:1] in ("'", '"'):
                     rawval = rawval[1:-1]
                 val = unescape(rawval) if "&" in rawval else rawval
-            attrs.append((name, val))
+            if attrib2 is None:
+                attrib2 = {name: val}
+            elif name not in attrib2:
+                attrib2[name] = val
             j = am.end()
         gt = find(">", j)
         if gt < 0:
@@ -1338,10 +1349,10 @@ def _fast_feed(text: str, builder: "_TreeBuilder") -> None:
             continue
         if selfclose and gt == j:
             # "<script/>" is a startend tag in stdlib: no cdata mode
-            builder.handle_startendtag(tag, attrs)
+            builder._startend_fast(tag, attrib2)
             i = gt + 1
             continue
-        handle_start(tag, attrs)
+        handle_start(tag, attrib2)
         i = gt + 1
         if tag in ("script", "style"):
             # rawtext: no entity decoding; ends only at a full close tag;
