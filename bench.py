@@ -47,11 +47,12 @@ def _worker(parallelism: int, target_docs: int | None = None) -> None:
         master=f"local[{parallelism}]",
         shuffle_partitions=max(parallelism * 2, 8),
         # Arrow batch sizing follows payload size: ~10 KB synthetic
-        # pages ride 2048-row batches (~20 MB, +6% over the 512
-        # default measured at local[32]); the 512 default stays for
-        # the 139 KB-average real pages where 2048 rows would be
-        # ~280 MB per batch.
-        extra_conf={"spark.sql.execution.arrow.maxRecordsPerBatch": "2048"},
+        # pages ride 8192-row batches (~80 MB; measured monotone gains
+        # 512 → 2048 → 4096 → 8192 at local[32] — bigger batches
+        # amortize the single-socket Arrow IPC that bounds 32-thread
+        # local mode). The 512 default stays for the 139 KB-average
+        # real pages where 8192 rows would be ~1.1 GB per batch.
+        extra_conf={"spark.sql.execution.arrow.maxRecordsPerBatch": "8192"},
     )
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     n_src = docs.count()
