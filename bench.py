@@ -46,13 +46,17 @@ def _worker(parallelism: int, target_docs: int | None = None) -> None:
         app_name=f"bench-{parallelism}",
         master=f"local[{parallelism}]",
         shuffle_partitions=max(parallelism * 2, 8),
-        # Arrow batch sizing follows payload size: ~10 KB synthetic
-        # pages ride 8192-row batches (~80 MB; measured monotone gains
-        # 512 → 2048 → 4096 → 8192 at local[32] — bigger batches
-        # amortize the single-socket Arrow IPC that bounds 32-thread
-        # local mode). The 512 default stays for the 139 KB-average
-        # real pages where 8192 rows would be ~1.1 GB per batch.
-        extra_conf={"spark.sql.execution.arrow.maxRecordsPerBatch": "8192"},
+        # Arrow batch sizing follows payload size AND parallelism:
+        # ~10 KB synthetic pages ride 8192-row batches at local[32]
+        # (~80 MB; measured monotone gains 512 → 2048 → 4096 → 8192 —
+        # bigger batches amortize the single-socket Arrow IPC that
+        # bounds 32-thread local mode), but at low parallelism the IPC
+        # is not the bottleneck and 8192-row batches leave each
+        # partition a single coarse chunk, so 2048 preserves scheduling
+        # granularity there. The 512 default stays for the
+        # 139 KB-average real pages where 8192 rows would be ~1.1 GB.
+        extra_conf={"spark.sql.execution.arrow.maxRecordsPerBatch":
+                    "8192" if parallelism >= 16 else "2048"},
     )
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     n_src = docs.count()
