@@ -216,7 +216,8 @@ def minhash_lsh_pairs(df: DataFrame, k_shingle: int = 3,
     return pairs.distinct()
 
 
-def dedup_clusters(df: DataFrame, k_shingle: int = 3, max_iter: int = 15) -> DataFrame:
+def dedup_clusters(df: DataFrame, k_shingle: int = 3, max_iter: int = 15,
+                   checkpoint: str = "local") -> DataFrame:
     """Near-duplicate clusters: connected components over the MinHash-LSH
     candidate pair graph via min-label propagation. Each doc's cluster_id
     is the smallest doc_id reachable through shared LSH bands;
@@ -227,7 +228,19 @@ def dedup_clusters(df: DataFrame, k_shingle: int = 3, max_iter: int = 15) -> Dat
     groupBy(min) — the standard large-graph CC loop (label count halves
     at least geometrically; diameter of near-dup clusters is tiny, so
     convergence is ~O(log of the largest cluster), checked with an early
-    stop). No adjacency ever collects to the driver."""
+    stop). No adjacency ever collects to the driver.
+
+    ``checkpoint`` selects how each iteration's labels are materialized:
+
+    - ``"local"`` (default, right for local mode / short loops):
+      ``localCheckpoint()`` — truncates lineage AND caches, but stores
+      blocks on executors, so on a real cluster an executor loss
+      mid-loop fails the job.
+    - ``"reliable"`` (the 100 TB setting): ``checkpoint()`` to the
+      fault-tolerant checkpoint directory (HDFS/object store on a
+      cluster). If no checkpoint dir is configured, one is created
+      under the Spark local dir so local runs work out of the box.
+    """
     pairs = minhash_lsh_pairs(df, k_shingle)
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -235,6 +248,15 @@ def dedup_clusters(df: DataFrame, k_shingle: int = 3, max_iter: int = 15) -> Dat
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
     labels = df.select("doc_id", F.col("doc_id").alias("cluster_id"))
+
+    if checkpoint not in ("local", "reliable"):
+        raise ValueError(f"checkpoint must be 'local' or 'reliable': {checkpoint!r}")
+    if checkpoint == "reliable":
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            import tempfile
+
+            sc.setCheckpointDir(tempfile.mkdtemp(prefix="gts-ckpt-"))
 
     for _ in range(max_iter):
         neighbor_min = (
@@ -251,12 +273,15 @@ def dedup_clusters(df: DataFrame, k_shingle: int = 3, max_iter: int = 15) -> Dat
                 ).alias("cluster_id"),
             )
         )
-        # Materialize BEFORE the convergence probe: localCheckpoint both
-        # truncates lineage and caches the iteration's result, so the
-        # probe's count() and the next iteration's join read the same
-        # materialized frame instead of re-executing the propagation
-        # join twice per loop.
-        new_labels = new_labels.localCheckpoint()
+        # Materialize BEFORE the convergence probe: checkpointing both
+        # truncates lineage and materializes the iteration's result, so
+        # the probe's count() and the next iteration's join read the
+        # same frame instead of re-executing the propagation join twice
+        # per loop. Reliable mode survives executor loss (see docstring).
+        if checkpoint == "reliable":
+            new_labels = new_labels.checkpoint()
+        else:
+            new_labels = new_labels.localCheckpoint()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")

@@ -478,6 +478,31 @@ def test_dedup_clusters_chain(spark):
     assert out[10].cluster_id == 10 and out[10].is_canonical
 
 
+def test_dedup_clusters_reliable_checkpoint(spark):
+    """checkpoint='reliable' (the cluster/100 TB setting: fault-tolerant
+    checkpoint() instead of executor-block localCheckpoint) must produce
+    identical clusters, and reject unknown modes."""
+    import pytest
+
+    from go_trafilatura_spark import textops
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    rows = [
+        (1, base, "en"),
+        (2, base + "lambda", "en"),
+        (3, base + "lambda mu", "en"),
+        (10, "completely different words entirely unrelated text here " * 6, "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    local = sorted(map(tuple, textops.dedup_clusters(df).collect()))
+    reliable = sorted(map(tuple, textops.dedup_clusters(
+        df, checkpoint="reliable").collect()))
+    assert local == reliable
+    assert spark.sparkContext.getCheckpointDir() is not None
+    with pytest.raises(ValueError):
+        textops.dedup_clusters(df, checkpoint="bogus")
+
+
 def test_gopher_repetition_metrics(spark):
     from go_trafilatura_spark import textops
 
