@@ -131,16 +131,27 @@ class Metadata:
     page_type: str = ""
 
 
+# UAX#29 word-break classes of the ASCII/quote joiners x/text honors:
+# MidNumLetQ = MidNumLet ∪ Single_Quote → '.' and U+0027 join
+# letter·letter (WB6/7) OR digit·digit (WB11/12); MidLetter → U+2019
+# and ':' join letter·letter only; ExtendNumLet → '_' chains words
+# through underscore runs (WB13a/b).
+_TC_MIDNUMLETQ = "'."
+_TC_MIDLETTER = "’:"
+
+
 def title_case(s: str) -> str:
     """x/text cases.Title(language.English) semantics (UAX#29 word
     segmentation): titlecase the first cased character of each word,
-    lowercase the rest. Mid-word joiners — apostrophes (MidLetter),
-    '.' (MidNumLet), '_' (ExtendNumLet) — continue a word only when
-    surrounded by alphanumerics, so "u.s. army" → "U.s. Army" and
-    "don't" → "Don't"; hyphens break words ("jean-pierre" →
-    "Jean-Pierre"); digits don't consume the titlecase slot
-    ("3rd" → "3Rd"). Verified against the Go library's published
-    behavior (reference metadata.go:234,737)."""
+    lowercase the rest. Mid-word joiners continue a word only per their
+    UAX#29 class: "u.s. army" → "U.s. Army", "don't" → "Don't", but the
+    mixed-side "x'3rd" breaks → "X'3Rd" (MidNumLetQ needs letter·letter
+    or digit·digit); '’'/':' (MidLetter) join letters only, so "1’5" →
+    "1’5" with a break; '_' (ExtendNumLet) chains through runs
+    ("foo__bar" → "Foo__bar"). Hyphens break words ("jean-pierre" →
+    "Jean-Pierre"); digits don't consume the titlecase slot ("3rd" →
+    "3Rd"). Verified against the Go library's published behavior
+    (reference metadata.go:234,737)."""
     out = []
     new_word = True
     n = len(s)
@@ -152,12 +163,20 @@ def title_case(s: str) -> str:
             # part of the word; the first cased LETTER still titlecases
             out.append(ch)
         else:
-            joiner = (
-                ch in "'’._"
-                and 0 < i < n - 1
-                and s[i - 1].isalnum()
-                and s[i + 1].isalnum()
-            )
+            p = s[i - 1] if i > 0 else ""
+            q = s[i + 1] if i < n - 1 else ""
+            if ch in _TC_MIDNUMLETQ:
+                joiner = (p.isalpha() and q.isalpha()) or (
+                    p.isdigit() and q.isdigit()
+                )
+            elif ch in _TC_MIDLETTER:
+                joiner = p.isalpha() and q.isalpha()
+            elif ch == "_":
+                # WB13a: a word followed by '_' keeps extending, through
+                # whole underscore runs; output-visible only mid-word.
+                joiner = p.isalnum() or p == "_"
+            else:
+                joiner = False
             if not joiner:
                 new_word = True
             out.append(ch)

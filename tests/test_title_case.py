@@ -29,6 +29,21 @@ from go_trafilatura_spark.metadata import title_case
     # digits don't consume the titlecase slot
     ("3rd place", "3Rd Place"),
     ("42", "42"),
+    # UAX#29 side rules (round 4): MidNumLetQ (' and .) joins
+    # letter·letter or digit·digit but NOT mixed sides — the word
+    # breaks, so the letter after the digit run titlecases
+    ("x'3rd", "X'3Rd"),
+    ("a.4th", "A.4Th"),
+    ("1.5 million", "1.5 Million"),
+    ("rock 'n' roll", "Rock 'N' Roll"),
+    # U+2019 is MidLetter: letters only, digits break
+    ("1’5th", "1’5Th"),
+    # ':' is MidLetter (Swedish-style abbreviations)
+    ("s:t erik", "S:t Erik"),
+    ("time: 12", "Time: 12"),
+    # '_' is ExtendNumLet: chains through underscore runs
+    ("foo__bar baz", "Foo__bar Baz"),
+    ("foo_3rd", "Foo_3rd"),
     # already-mixed input is normalized
     ("MiXeD CaSe", "Mixed Case"),
     ("", ""),
