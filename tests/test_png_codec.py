@@ -1,0 +1,104 @@
+"""Real image codec tests: the pure-stdlib PNG decoder (all five
+scanline filters, gray/RGB/RGBA/palette), the encode/decode round trip,
+and the Pillow backend (skipped when Pillow is absent — VERDICT r3 #5).
+"""
+
+import os
+import struct
+import sys
+import zlib
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pytest
+
+from go_trafilatura_spark.multimodal import (
+    PngDecodeBackend, decode_png, encode_png, real_image_backend,
+)
+
+
+def _gradient(w, h, channels):
+    """Deterministic interleaved 8-bit test image."""
+    return bytes(
+        (x * 31 + y * 17 + c * 77) % 256
+        for y in range(h) for x in range(w) for c in range(channels)
+    )
+
+
+@pytest.mark.parametrize("channels", [1, 3, 4])
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_png_roundtrip_all_filters(channels, filter_type):
+    w, h = 7, 5  # odd sizes exercise stride math
+    samples = _gradient(w, h, channels)
+    png = encode_png(w, h, channels, samples, filter_type=filter_type)
+    rw, rh, rch, out = decode_png(png)
+    assert (rw, rh, rch) == (w, h, channels)
+    assert bytes(out) == samples
+
+
+def test_png_palette():
+    # Hand-build a 2x2 palette image: PLTE of 3 colors, indexed pixels.
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    idx_rows = bytes([0, 0, 1]) + bytes([0, 2, 1])  # filter byte + 2 px per row
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    png = (b"\x89PNG\r\n\x1a\n"
+           + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0))
+           + chunk(b"PLTE", plte)
+           + chunk(b"IDAT", zlib.compress(idx_rows))
+           + chunk(b"IEND", b""))
+    w, h, ch, out = decode_png(png)
+    assert (w, h, ch) == (2, 2, 3)
+    # rows: (idx 0, idx 1) then (idx 2, idx 1) → red green / blue green
+    assert bytes(out) == bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 0, 255, 0])
+
+
+def test_png_backend_luma():
+    # Pure white and pure black RGB pixels → luma 1.0 / 0.0 exactly.
+    samples = bytes([255, 255, 255, 0, 0, 0])
+    png = encode_png(2, 1, 3, samples)
+    w, h, plane = PngDecodeBackend().decode_image(png)
+    assert (w, h) == (2, 1)
+    assert plane[0] == pytest.approx(1.0) and plane[1] == pytest.approx(0.0)
+    # still frames replicate the luma plane
+    frames = PngDecodeBackend().sample_frames(png, 3)
+    assert len(frames) == 3 and frames[0] == plane
+
+
+def test_png_rejects_garbage_and_unsupported():
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"not a png at all")
+    # 16-bit depth is out of scope for the stdlib path
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+    png16 = (b"\x89PNG\r\n\x1a\n"
+             + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0)))
+    with pytest.raises(ValueError, match="unsupported"):
+        decode_png(png16)
+
+
+def test_real_image_backend_selection():
+    backend = real_image_backend()
+    # In this container Pillow is absent → stdlib PNG backend; with
+    # Pillow installed the Pillow backend must still decode PNG.
+    png = encode_png(2, 2, 1, bytes([0, 128, 255, 64]))
+    w, h, plane = backend.decode_image(png)
+    assert (w, h) == (2, 2)
+    assert plane[0] == pytest.approx(0.0)
+    assert plane[2] == pytest.approx(1.0)
+
+
+def test_pillow_backend_parity():
+    pytest.importorskip("PIL")
+    from go_trafilatura_spark.multimodal import PillowDecodeBackend
+
+    samples = _gradient(4, 3, 1)
+    png = encode_png(4, 3, 1, samples)
+    w, h, plane = PillowDecodeBackend().decode_image(png)
+    sw, sh, splane = PngDecodeBackend().decode_image(png)
+    assert (w, h) == (sw, sh) == (4, 3)
+    assert plane == pytest.approx(splane)
