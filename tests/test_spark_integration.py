@@ -4,6 +4,7 @@ manifest, streaming, multimodal plumbing. One shared local session."""
 import os
 import shutil
 import tempfile
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -677,6 +678,89 @@ def test_stateful_lsh_candidates_stream(spark):
         query.stop()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_streaming_lsh_matches_batch_pairs(spark):
+    """Streaming ↔ batch LSH parity (VERDICT r3 #7): over a replayed
+    shard sequence, the within-bucket closure of the streaming candidate
+    rows must equal textops.minhash_lsh_pairs on the union of the shards
+    (modulo TTL, which doesn't fire here), while the streaming op itself
+    emits O(members) rows — star edges, never |group|² — per bucket."""
+    import itertools
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_trafilatura_spark import textops
+    from go_trafilatura_spark.streaming import stateful_lsh_candidates_stream
+
+    base_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 5
+    base_b = ("spark shuffle partition executor broadcast catalyst "
+              "tungsten codegen adaptive plan ") * 5
+    rows = [
+        (1, base_a), (2, base_a + "lambda"), (3, base_a + "lambda mu"),
+        (10, base_b), (11, base_b + "extra"),
+        (20, "completely unrelated text about gardens and rivers " * 6),
+        (21, "another disjoint document mentioning mountains and snow " * 6),
+    ]
+    # replay as 3 shards arriving in separate micro-batches
+    shards = [rows[:3], rows[3:5], rows[5:]]
+
+    tmp = tempfile.mkdtemp(prefix="gts_lsh_parity_")
+    try:
+        in_dir = os.path.join(tmp, "in")
+        os.makedirs(in_dir)
+        schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1).parquet(in_dir)
+        )
+        query = (
+            stateful_lsh_candidates_stream(stream)
+            .writeStream.format("memory").queryName("lsh_parity")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .start()
+        )
+        total = 0
+        for i, shard in enumerate(shards):
+            pq.write_table(
+                pa.table({"doc_id": [r[0] for r in shard],
+                          "text": [r[1] for r in shard]}, schema=schema),
+                os.path.join(in_dir, f"shard{i}.parquet"))
+            total += 2 * len(shard)  # every doc lands in 2 band buckets
+            deadline = time.time() + 120
+            while time.time() < deadline:
+                if not query.isActive:
+                    raise AssertionError(f"query died: {query.exception()}")
+                got = spark.sql(
+                    "select count(*) c from lsh_parity").collect()[0]["c"]
+                if got >= total:
+                    break
+                time.sleep(1)
+        stream_rows = spark.sql("select * from lsh_parity").collect()
+        query.stop()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    # O(members): exactly one row per (doc, band) — no quadratic fan-out
+    assert len(stream_rows) == 2 * len(rows)
+
+    # closure: all pairs of docs sharing a (band, bucket_key)
+    buckets: dict = {}
+    for r in stream_rows:
+        buckets.setdefault((r["band"], r["bucket_key"]), set()).add(r["doc_id"])
+    closure = set()
+    for members in buckets.values():
+        for a, b in itertools.combinations(sorted(members), 2):
+            closure.add((a, b))
+
+    df = spark.createDataFrame([(d, t, "en") for d, t in rows],
+                               "doc_id long, text string, lang string")
+    batch = {(r["doc_a"], r["doc_b"])
+             for r in textops.minhash_lsh_pairs(df).collect()}
+    assert closure == batch and (1, 2) in batch and (10, 11) in batch
+    assert not any(20 in p or 21 in p for p in batch)
 
 
 def test_textops_survive_adversarial_inputs(spark):
