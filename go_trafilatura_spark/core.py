@@ -46,14 +46,25 @@ class ExtractResult:
 def extract(html_input: bytes | str, options: Options | None = None) -> ExtractResult:
     """Extract — parse + run the document cascade (core.go:71-79)."""
     doc = etree.parse_html(html_input)
-    return extract_document(doc, options or Options(), owns_doc=True)
+    return extract_document(
+        doc, options or Options(), owns_doc=True,
+        reparse=lambda: etree.parse_html(html_input),
+    )
 
 
-def extract_document(doc: Element, options: Options, owns_doc: bool = False) -> ExtractResult:
+def extract_document(doc: Element, options: Options, owns_doc: bool = False,
+                     reparse=None) -> ExtractResult:
     """ExtractDocument (core.go:82-219). ``owns_doc=True`` lets the
     cascade mutate the input tree instead of cloning it first (the
     reference always clones, core.go:133 — identical results, fewer
-    allocations when the caller discards the tree)."""
+    allocations when the caller discards the tree).
+
+    ``reparse`` (a zero-arg callable returning a fresh parse of the
+    same input) replaces the eager pristine-tree clone the baseline
+    rescue would otherwise need: the rescue fires only on pages whose
+    extraction falls short of min_extracted_size, so re-parsing those
+    few beats deep-cloning every page (the reference's docBackup2,
+    core.go:135 — identical bytes either way)."""
     cache = LRUCache(options.config.cache_size)
 
     # Language gate (non-strict)
@@ -95,7 +106,11 @@ def extract_document(doc: Element, options: Options, owns_doc: bool = False) -> 
     needs_baseline = (
         options.config.min_extracted_size > 0 and options.focus != FAVOR_PRECISION
     )
-    doc_backup2 = etree.clone(doc, True) if needs_baseline else None
+    doc_backup2 = (
+        None if not needs_baseline
+        else reparse if reparse is not None
+        else etree.clone(doc, True)
+    )
 
     # Clean and convert
     doc_cleaning(doc, options)
@@ -126,6 +141,8 @@ def extract_document(doc: Element, options: Options, owns_doc: bool = False) -> 
     # Baseline rescue
     len_text = len(tmp_body_text)
     if len_text < options.config.min_extracted_size and options.focus != FAVOR_PRECISION:
+        if callable(doc_backup2):
+            doc_backup2 = doc_backup2()  # deferred re-parse (see docstring)
         post_body, tmp_body_text = baseline(doc_backup2)
 
     # Tree size sanity check

@@ -19,6 +19,7 @@ raw-text script/style, comment nodes and entity decoding.
 from __future__ import annotations
 
 import re
+from html import unescape as _unescape
 from html.parser import HTMLParser
 
 COMMENT = "#comment"
@@ -110,29 +111,57 @@ _EMPTY_ATTRIB: dict = {}
 class Element:
     """One HTML element. ``text`` is the text before the first child,
     ``tail`` is the text between this element's end tag and the next
-    sibling (the lxml model)."""
+    sibling (the lxml model).
 
-    __slots__ = ("tag", "attrib", "text", "tail", "children", "parent")
+    Attributes parse LAZILY: the fast tokenizer stores the raw
+    attribute substring (``_rawattrs``) and the dict materializes on
+    first access — attribute parsing is ~45% of tokenizer cost and most
+    elements' attributes are never read by the cascade."""
+
+    __slots__ = ("tag", "_attrib", "_rawattrs", "text", "tail", "children",
+                 "parent")
 
     def __init__(self, tag: str, attrib: dict | None = None):
         self.tag = tag
         # Attribute-less elements share one frozen-by-convention dict;
         # set() rebinds before the first mutation (saves one dict
         # allocation per node — most nodes have no attributes).
-        self.attrib = attrib if attrib is not None else _EMPTY_ATTRIB
+        self._attrib = attrib if attrib is not None else _EMPTY_ATTRIB
+        self._rawattrs: str | None = None
         self.text = ""
         self.tail = ""
         self.children: list[Element] = []
         self.parent: Element | None = None
 
+    @property
+    def attrib(self) -> dict:
+        raw = self._rawattrs
+        if raw is not None:
+            self._rawattrs = None
+            self._attrib = _parse_simple_attrs(raw)
+        return self._attrib
+
+    @attrib.setter
+    def attrib(self, value: dict) -> None:
+        self._rawattrs = None
+        self._attrib = value
+
     # -- convenience ------------------------------------------------------
     def get(self, key: str, default: str = "") -> str:
-        return self.attrib.get(key, default)
+        raw = self._rawattrs
+        if raw is not None:
+            self._rawattrs = None
+            self._attrib = _parse_simple_attrs(raw)
+        return self._attrib.get(key, default)
 
     def set(self, key: str, value: str) -> None:
-        if self.attrib is _EMPTY_ATTRIB:
-            self.attrib = {}
-        self.attrib[key] = value
+        raw = self._rawattrs
+        if raw is not None:
+            self._rawattrs = None
+            self._attrib = _parse_simple_attrs(raw)
+        if self._attrib is _EMPTY_ATTRIB:
+            self._attrib = {}
+        self._attrib[key] = value
 
     def __repr__(self) -> str:  # pragma: no cover - debug aid
         return f"<Element {self.tag} attrib={self.attrib} text={self.text!r}>"
@@ -315,7 +344,12 @@ def clone(el: Element, deep: bool = True) -> Element:
     """dom.Clone — the clone is detached: no parent and no tail (in the
     DOM model a tail is a sibling text node and never travels with the
     node)."""
-    dup = Element(el.tag, dict(el.attrib) if el.attrib else None)
+    dup = Element(el.tag)
+    raw = el._rawattrs
+    if raw is not None:
+        dup._rawattrs = raw  # copy unparsed — both sides parse on demand
+    elif el._attrib:
+        dup._attrib = dict(el._attrib)
     if deep:
         dup.text = el.text
         for child in el.children:
@@ -326,13 +360,28 @@ def clone(el: Element, deep: bool = True) -> Element:
 
 
 def _clone_with_tail(el: Element) -> Element:
-    dup = Element(el.tag, dict(el.attrib) if el.attrib else None)
+    # __new__ + direct slot writes: ~35% faster than Element() on the
+    # deep-clone hot path (prune backups clone whole candidate subtrees).
+    dup = Element.__new__(Element)
+    dup.tag = el.tag
+    raw = el._rawattrs
+    dup._rawattrs = raw
+    if raw is not None:
+        dup._attrib = _EMPTY_ATTRIB
+    else:
+        a = el._attrib
+        dup._attrib = dict(a) if a else a
     dup.text = el.text
     dup.tail = el.tail
-    for child in el.children:
-        cc = _clone_with_tail(child)
-        cc.parent = dup
-        dup.children.append(cc)
+    dup.parent = None
+    kids = el.children
+    if kids:
+        cloned = [_clone_with_tail(c) for c in kids]
+        for c in cloned:
+            c.parent = dup
+        dup.children = cloned
+    else:
+        dup.children = []
     return dup
 
 
@@ -566,15 +615,30 @@ def _serialize(el: Element, out: list[str]) -> None:
 # ---------------------------------------------------------------------------
 
 class _FmtEntry:
-    """Active-formatting-elements entry: the tag/attrib that recreate the
-    element on reconstruction, plus the currently-open element for it."""
+    """Active-formatting-elements entry: the tag plus the currently-open
+    element for it. ``attrib`` (used only on reconstruction/adoption,
+    both rare) defers to the element's lazy attributes — pushing a
+    formatting tag must not force an attribute parse."""
 
-    __slots__ = ("tag", "attrib", "el")
+    __slots__ = ("tag", "el")
 
-    def __init__(self, tag: str, attrib: dict | None, el):
+    def __init__(self, tag: str, el):
         self.tag = tag
-        self.attrib = attrib
         self.el = el
+
+    @property
+    def attrib(self) -> dict:
+        return self.el.attrib
+
+
+def _attrs_equal(x: "Element", y: "Element") -> bool:
+    """Attribute equality without forcing a parse when both sides carry
+    the identical raw substring (identical raw ⇒ identical dict; raws
+    that differ may still normalize equal, so fall through to dicts)."""
+    rx = x._rawattrs
+    if rx is not None and rx == y._rawattrs:
+        return True
+    return (x.attrib or {}) == (y.attrib or {})
 
 
 _AFE_MARKER = object()
@@ -724,18 +788,17 @@ class _TreeBuilder(HTMLParser):
         # since the last marker — bounds afe growth on wild HTML with
         # thousands of unclosed formatting tags.
         afe = self.afe
-        attrib = el.attrib if el.attrib else {}
         count = 0
         for k in range(len(afe) - 1, -1, -1):
             e = afe[k]
             if e is _AFE_MARKER:
                 break
-            if e.tag == el.tag and (e.attrib or {}) == attrib:
+            if e.tag == el.tag and _attrs_equal(e.el, el):
                 count += 1
                 if count == 3:
                     del afe[k]
                     break
-        afe.append(_FmtEntry(el.tag, el.attrib, el))
+        afe.append(_FmtEntry(el.tag, el))
 
     def _reconstruct(self) -> None:
         """Reconstruct active formatting elements: formatting tags left
@@ -913,10 +976,17 @@ class _TreeBuilder(HTMLParser):
                     attrib[k] = v if v is not None else ""
         self._start_fast(tag, attrib)
 
-    def _start_fast(self, tag: str, attrib: dict | None) -> None:
+    def _start_fast(self, tag: str, attrib: dict | None,
+                    raw: str | None = None) -> None:
         # Fast-tokenizer entry: attrib is a ready dict (first
-        # occurrence wins, None values already mapped to "").
+        # occurrence wins, None values already mapped to "") OR raw is
+        # the unparsed attribute substring (lazy path — parsed only if
+        # this element's attributes are ever read).
         flags = _TAG_FLAGS.get(tag, 0)
+        if raw is not None and (flags & _F_TOPLEVEL
+                                or (self.foreign and tag == "font")):
+            attrib = _parse_simple_attrs(raw)
+            raw = None
         if flags & _F_TOPLEVEL:
             if tag == "html":
                 target = self.html
@@ -929,7 +999,13 @@ class _TreeBuilder(HTMLParser):
                 target.attrib.setdefault(k, v)
             return
         if not self.in_body and flags & _F_HEADISH:
-            el = Element(tag, attrib)
+            el = Element.__new__(Element)
+            el.tag = tag
+            el._attrib = attrib if attrib is not None else _EMPTY_ATTRIB
+            el._rawattrs = raw
+            el.text = ""
+            el.tail = ""
+            el.children = []
             el.parent = self.head
             self.head.children.append(el)
             if (flags & _F_RAWHEAD) or not (flags & _F_VOID):
@@ -974,8 +1050,15 @@ class _TreeBuilder(HTMLParser):
         if not fostered and self.afe and not (flags & _F_NO_RECONSTRUCT):
             self._reconstruct()
             parent = self._current()
-        el = Element(tag, attrib)
+        el = Element.__new__(Element)
+        el.tag = tag
+        el._attrib = attrib if attrib is not None else _EMPTY_ATTRIB
+        el._rawattrs = raw
+        el.text = ""
+        el.tail = ""
+        el.children = []
         if fostered:
+            el.parent = None
             self._foster_insert(el)
         else:
             el.parent = parent
@@ -1014,7 +1097,8 @@ class _TreeBuilder(HTMLParser):
                     attrib[k] = v if v is not None else ""
         self._startend_fast(tag, attrib)
 
-    def _startend_fast(self, tag: str, attrib: dict | None) -> None:
+    def _startend_fast(self, tag: str, attrib: dict | None,
+                       raw: str | None = None) -> None:
         # Foreign content honors the self-closing flag (<path/>, <svg/>
         # stay empty); in HTML content "/>" on a non-void element is
         # just a start tag.
@@ -1026,10 +1110,12 @@ class _TreeBuilder(HTMLParser):
                 self.in_body = True
             parent = self._current()
             el = Element(tag, attrib)
+            if raw is not None:
+                el._rawattrs = raw
             el.parent = parent
             parent.children.append(el)
             return
-        self._start_fast(tag, attrib)
+        self._start_fast(tag, attrib, raw)
 
     def handle_endtag(self, tag: str) -> None:
         code = _END_CODE.get(tag, 0)
@@ -1139,6 +1225,25 @@ _RX_SIMPLE_ATTR = re.compile(
     r"([a-zA-Z_:][-a-zA-Z0-9_:.]*)"
     r"(?:\s*=\s*(\"[^\"]*\"|'[^']*'|[a-zA-Z0-9_%.,:;#+\-]+))?"
 )
+
+
+def _parse_simple_attrs(raw: str) -> dict:
+    """Materialize the attribute dict from a raw simple-start-tag
+    attribute substring (Element lazy-attrib path). Semantics identical
+    to the former inline loop: lowercase names, first occurrence wins,
+    valueless → "", quotes stripped, entities decoded."""
+    attrib: dict = {}
+    for name, rawval in _RX_SIMPLE_ATTR.findall(raw):
+        name = name.lower()
+        if name in attrib:
+            continue
+        if rawval == "":
+            attrib[name] = ""
+            continue
+        if rawval[:1] in ("'", '"'):
+            rawval = rawval[1:-1]
+        attrib[name] = _unescape(rawval) if "&" in rawval else rawval
+    return attrib
 # cdata mode ends ONLY at a full close tag (stdlib set_cdata_mode):
 # "</script foo>" does NOT end a script element.
 _RX_RAWTEXT_END = {
@@ -1282,27 +1387,15 @@ def _fast_feed(text: str, builder: "_TreeBuilder") -> None:
         sm = _RX_SIMPLE_STARTTAG.match(text, lt)
         if sm is not None:
             tag = sm.group(1).lower()
-            rawattrs = sm.group(2)
-            attrib = None
-            if rawattrs:
-                attrib = {}
-                for name, rawval in _RX_SIMPLE_ATTR.findall(rawattrs):
-                    name = name.lower()
-                    if name in attrib:
-                        continue  # first occurrence wins (stdlib dict build)
-                    if rawval == "":
-                        # name-only or empty-unquoted value: both land as
-                        # "" in the attrib dict (stdlib maps None → "")
-                        attrib[name] = ""
-                        continue
-                    if rawval[:1] in ("'", '"'):
-                        rawval = rawval[1:-1]
-                    attrib[name] = unescape(rawval) if "&" in rawval else rawval
+            # Lazy attributes: hand the raw substring to the Element;
+            # _parse_simple_attrs materializes the dict on first access
+            # (most elements' attributes are never read by the cascade).
+            rawattrs = sm.group(2) or None
             if sm.group(3):
-                builder._startend_fast(tag, attrib)
+                builder._startend_fast(tag, None, rawattrs)
                 i = sm.end()
                 continue
-            handle_start(tag, attrib)
+            handle_start(tag, None, rawattrs)
             i = sm.end()
             if tag in ("script", "style"):
                 endm = _RX_RAWTEXT_END[tag].search(text, i)

@@ -1220,6 +1220,12 @@ def extract_date_fast(doc: Element, url: str, extensive: bool = False,
     all_elements = (index.elements if index is not None
                     else etree.iter_descendants(doc))
     for node in all_elements:
+        # No-parse prescreen: an element whose raw attribute substring
+        # never mentions "itemprop" cannot carry the microdata key —
+        # skips the lazy attribute parse for the whole page walk.
+        raw = node._rawattrs
+        if raw is not None and "itemprop" not in raw:
+            continue
         itemprop = node.attrib.get("itemprop") if node.attrib else None
         if not itemprop:
             continue

@@ -27,14 +27,68 @@ def _rule_candidates(root: Element, rule) -> list[Element]:
         out = []
         _collect_tags(root, tags, out)
     if getattr(rule, "needs_attrs", False):
-        return [el for el in out if el.attrib]
+        # no-parse attr presence check (Element lazy attribs)
+        return [el for el in out if el._attrib or el._rawattrs]
+    return out
+
+
+import re as _re_screen
+
+_RX_SCREEN_ID = _re_screen.compile(r"id\s*=")
+_RX_SCREEN_CS = _re_screen.compile(r"class\s*=|style\s*=")
+
+
+def _screened(elements: list, rule) -> list:
+    """Raw-attribute prescreen: a rule whose every attribute condition
+    requires some literal substring in an attribute VALUE declares
+    ``raw_screen`` — a tuple of LOWERCASE literals, at least one of
+    which must appear in the element's unparsed attribute substring for
+    the rule to possibly match. Elements failing all of them skip the
+    attribute parse AND the rule body. Checks are plain ``in`` over the
+    lowercased raw (C memmem) — NOT a regex alternation, whose
+    backtracking costs more than the parse it avoids.
+
+    Exactness: for entity-free raw, every parsed value is a literal
+    substring of raw (names are lowercased at parse, values untouched;
+    lowercasing both sides makes the screen a case-insensitive
+    over-approximation — it over-passes, never under). Bypasses that
+    force a full evaluation: raw already parsed, raw contains '&'
+    (entities could decode into a screened literal), the element's tag
+    is in ``screen_exempt`` (tag-only disjunct), or — for rules with
+    id+class / id+style CONCATENATION semantics (``screen_concat``) —
+    both attrs present, where a match could span the value boundary."""
+    screen = getattr(rule, "raw_screen", None)
+    if screen is None:
+        return elements
+    exempt = getattr(rule, "screen_exempt", None)
+    concat = getattr(rule, "screen_concat", False)
+    out = []
+    append = out.append
+    for el in elements:
+        raw = el._rawattrs
+        if raw is None or "&" in raw:
+            append(el)
+            continue
+        lraw = raw.lower()
+        for p in screen:
+            if p in lraw:
+                append(el)
+                break
+        else:
+            if exempt is not None and el.tag in exempt:
+                append(el)
+            elif concat and _RX_SCREEN_ID.search(lraw) \
+                    and _RX_SCREEN_CS.search(lraw):
+                append(el)
     return out
 
 
 def query(root: Element, rule, elements: list | None = None) -> Element | None:
     """First matching descendant in document order
     (internal/selector/selector.go:31-38)."""
-    for el in (elements if elements is not None else _rule_candidates(root, rule)):
+    if elements is None:
+        elements = _rule_candidates(root, rule)
+    for el in _screened(elements, rule):
         if rule(el):
             return el
     return None
@@ -45,7 +99,7 @@ def query_all(root: Element, rule, elements: list | None = None) -> list[Element
     UNCHANGED tree hoist the full traversal out of the rule loop."""
     if elements is None:
         elements = _rule_candidates(root, rule)
-    return [el for el in elements if rule(el)]
+    return [el for el in _screened(elements, rule) if rule(el)]
 
 
 class TagIndex:
@@ -76,7 +130,7 @@ class TagIndex:
             else:
                 out = [els[i] for i in sorted(i for l in lists for i in l)]
         if getattr(rule, "needs_attrs", False):
-            return [el for el in out if el.attrib]
+            return [el for el in out if el._attrib or el._rawattrs]
         return out
 
     def of_tag(self, tag: str) -> list[Element]:
@@ -691,6 +745,69 @@ for _r in META_CATEGORIES + META_TAGS:
 del _r
 
 
+# raw_screen: see _screened. Each tuple is the set of lowercase
+# literals, at least one of which an attribute VALUE must contain for
+# the rule to match. Rules using id+class or id+style concatenation set
+# screen_concat so both-attr elements bypass the screen (a match could
+# span the value boundary); rules with a tag-only disjunct list those
+# tags in screen_exempt. overall_discarded_rule_1 deliberately carries
+# NO screen: its ~55-literal union costs more to check than the
+# attribute parse it would avoid.
+
+content_rule_1.raw_screen = (
+    "post", "entry", "articl", "page-content", "text-content", "body-text",
+    "art-content")
+content_rule_3.raw_screen = (
+    "post", "story", "theme-content", "blog-content", "section-content",
+    "single-", "main-", "wpb", "field-body", "text", "cell", "primary",
+    "articl")
+content_rule_4.raw_screen = ("content",)
+content_rule_5.raw_screen = ("main",)
+content_rule_5.screen_exempt = frozenset(("main",))
+
+overall_discarded_rule_2.raw_screen = (
+    "comments-title", "nocomment", "reply-", "message", "reader-comments",
+    "akismet", "suggest-links", "hid", "display", "noprint", "notloaded")
+overall_discarded_rule_2.screen_concat = True
+discarded_teaser_rule.raw_screen = ("teaser",)
+discarded_image_rule.raw_screen = ("caption",)
+
+# "comm"/"ment" cover every id+class boundary split of commentlist /
+# comments* / comment-* (prefix ⊇ "comm" for splits ≥4, suffix ⊇ "ment"
+# for splits ≤3) — no both-attrs bypass needed.
+comments_rule_1.raw_screen = ("comm", "ment")
+comments_rule_2.raw_screen = ("comm", "ment")
+comments_rule_3.raw_screen = ("comol", "disqus_thread", "dsq_comments")
+comments_rule_4.raw_screen = ("social", "comment")
+discarded_comments_rule_1.raw_screen = ("respond",)
+discarded_comments_rule_3.raw_screen = (
+    "comments-title", "nocomment", "reply-", "message", "signin",
+    "akismet", "display")
+discarded_comments_rule_3.screen_concat = True
+removed_comments_rule.raw_screen = (
+    "comment", "comol", "disqus_thread", "dsq-comments")
+
+meta_title_rule_1.raw_screen = (
+    "post-title", "entry-title", "headline", "post__title", "article-title")
+meta_title_rule_2.raw_screen = ("entry-title", "post-title")
+meta_title_rule_3.raw_screen = ("title",)
+
+# "rel" over-passes attr names like rel= (whitespace-tolerant by
+# substring) — the rel in ("author","me") disjunct needs it.
+meta_author_rule_1.raw_screen = ("author", "rel")
+meta_author_rule_1.screen_exempt = frozenset(("author",))
+meta_author_rule_2.raw_screen = (
+    "author", "byl", "username", "bbl", "channel-name", "zuozhe", "bianji",
+    "xiaobian", "submitted-by", "posted-by", "journalist-name")
+meta_author_rule_3.raw_screen = ("author", "screenname", "byl", "writer")
+# "commen"/"ntlist" cover every id+class split of "commentlist"
+# (suffix ⊇ "ntlist" for splits ≤5, prefix ⊇ "commen" for ≥6).
+meta_author_discard_rule_1.raw_screen = (
+    "commen", "ntlist", "title", "date", "sidebar", "is-hidden", "quote",
+    "embedly", "article-sh", "article-su", "print", "category", "meta-date",
+    "meta-reviewer", "productreviews", "figure")
+
+
 # ---------------------------------------------------------------------------
 # Inverted evaluation for the "a[href] under container X" meta rules:
 # each rule's ancestor test, restated as (container_tags, container_pred).
@@ -732,6 +849,22 @@ meta_tags_rule_4.containers = (None, lambda el: (
     or "tags-links" in el.get("class")
 ))
 
+# containers_screen: raw-attr prescreen tuples for the container
+# predicates (same exactness argument as raw_screen; container preds
+# read single attributes only, so no concatenation bypass is needed).
+meta_categories_rule_1.containers_screen = ("post", "meta", "entry")
+meta_categories_rule_2.containers_screen = (
+    "post", "entry-categories", "filedunder")
+meta_categories_rule_3.containers_screen = ("entry-",)
+meta_categories_rule_4.containers_screen = ("categor", "cat-links")
+meta_categories_rule_5.containers_screen = ("entry-header",)
+meta_categories_rule_6.containers_screen = ("row", "tags")
+meta_tags_rule_1.containers_screen = ("tags",)
+meta_tags_rule_2.containers_screen = ("entry-tags",)
+meta_tags_rule_3.containers_screen = (
+    "row", "jp-relatedposts", "entry-utility", "tag", "meta")
+meta_tags_rule_4.containers_screen = ("entry-meta", "topics", "tags-links")
+
 
 def anchors_by_ancestor(index: "TagIndex", rule) -> list[Element] | None:
     """Evaluate an a[href]-under-container rule through its inverted
@@ -744,8 +877,17 @@ def anchors_by_ancestor(index: "TagIndex", rule) -> list[Element] | None:
     pool = index.elements if tags is None else [
         el for t in tags for el in index.of_tag(t)
     ]
+    cscreen = getattr(rule, "containers_screen", None)
     for el in pool:
-        if el.attrib and pred(el):
+        if not (el._attrib or el._rawattrs):
+            continue
+        if cscreen is not None:
+            raw = el._rawattrs
+            if raw is not None and "&" not in raw:
+                lraw = raw.lower()
+                if not any(p in lraw for p in cscreen):
+                    continue
+        if pred(el):
             ids.add(id(el))
     if not ids:
         return []
