@@ -1259,21 +1259,47 @@ _STD_SECTS = frozenset(("temp", "cdata", "ignore", "include", "rcdata"))
 _MS_SECTS = frozenset(("if", "else", "endif"))
 
 
-def _fast_feed(text: str, builder: "_TreeBuilder") -> None:
-    from html import unescape
+# The master-regex scan loop: one C-level finditer drives the three hot
+# constructs (simple start tag, strict end tag, complete comment); the
+# text between matches is data. Cold constructs (tolerant tags, bogus
+# comments, doctype, marked sections, PIs, EOF-truncated anything) fall
+# back to _feed_one, which processes exactly one construct and returns
+# the resume position — the iterator restarts there (restarts also
+# follow every script/style rawtext skip). Byte-equality with the
+# per-construct loop is pinned by test_fast_tokenizer over the
+# reference's 960 pages plus differential fuzz.
+_RX_MASTER = re.compile(
+    r"<(?:"
+    # simple start tag (identical to _RX_SIMPLE_STARTTAG sans "<")
+    r"([a-zA-Z][a-zA-Z0-9-]*)"
+    r"((?:\s+[a-zA-Z_:][-a-zA-Z0-9_:.]*"
+    r"(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[a-zA-Z0-9_%.,:;#+\-]+))?)*)"
+    r"\s*(/?)>"
+    # strict end tag (identical to _RX_ENDTAG_STRICT sans "<")
+    r"|/\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>"
+    # complete comment (close regex mirrors _RX_COMMENT_CLOSE)
+    r"|!--(.*?)--\s*>"
+    # anything else construct-shaped: zero-width marker -> _feed_one
+    r"|(?=[!?/a-zA-Z])"
+    r")", re.S)
 
+
+def _feed_one(text: str, lt: int, builder: "_TreeBuilder") -> int:
+    """Process ONE construct at text[lt] == '<' that the master regex
+    could not match whole (tolerant end/start tags, bogus comments,
+    doctype, marked sections, PIs, EOF-truncated constructs). Returns
+    the next scan position; n both for clean end-of-input and for the
+    stdlib's raise-on-malformed-marked-section, where the feed stops
+    with the partial tree (parse_html keeps it either way)."""
     n = len(text)
-    i = 0
     handle_data = builder.handle_data
-    handle_start = builder._start_fast
-    handle_end = builder.handle_endtag
     handle_comment = builder.handle_comment
     find = text.find
 
-    def incomplete(lt: int) -> int:
-        """stdlib goahead EOF fallback for an unterminated construct:
-        emit data through the first '>', else to the next '<', else one
-        char."""
+    def incomplete() -> int:
+        # stdlib goahead EOF fallback for an unterminated construct:
+        # emit data through the first '>', else to the next '<', else
+        # one char.
         k = find(">", lt + 1)
         if k < 0:
             k = find("<", lt + 1)
@@ -1282,181 +1308,204 @@ def _fast_feed(text: str, builder: "_TreeBuilder") -> None:
         else:
             k += 1
         chunk = text[lt:k]
-        handle_data(unescape(chunk) if "&" in chunk else chunk)
+        handle_data(_unescape(chunk) if "&" in chunk else chunk)
         return k
 
-    while i < n:
-        lt = find("<", i)
-        if lt < 0:
-            if i < n:
-                chunk = text[i:]
-                handle_data(unescape(chunk) if "&" in chunk else chunk)
-            break
-        if lt > i:
-            chunk = text[i:lt]
-            handle_data(unescape(chunk) if "&" in chunk else chunk)
-        c = text[lt + 1:lt + 2]
-        if c == "/":
-            gt_any = find(">", lt + 1)
-            if gt_any < 0:
-                i = incomplete(lt)
-                continue
-            m = _RX_ENDTAG_STRICT.match(text, lt)
-            if m is not None:
-                handle_end(m.group(1).lower())
-                i = m.end()
-                continue
-            m = _RX_TAGNAME.match(text, lt + 2)
-            if m is None:
-                if text[lt:lt + 3] == "</>":
-                    i = lt + 3
-                    continue
-                # "</" + junk → bogus comment (stdlib parse_bogus_comment)
-                handle_comment(text[lt + 2:gt_any])
-                i = gt_any + 1
-                continue
-            tag = m.group(0).lower()
-            gt = find(">", m.end())
-            handle_end(tag)
-            i = (gt + 1) if gt >= 0 else n
-            continue
-        if c == "!":
-            if text[lt + 2:lt + 4] == "--":
-                endm = _RX_COMMENT_CLOSE.search(text, lt + 4)
-                if endm is None:
-                    i = incomplete(lt)
-                    continue
-                handle_comment(text[lt + 4:endm.start()])
-                i = endm.end()
-                continue
-            if text[lt + 2:lt + 3] == "[":
-                # marked section (stdlib parse_marked_section): standard
-                # sections close at "]]>", MS conditionals at "]>".
-                # A section head cut off by EOF ("<![", "<![CDATA") is
-                # *incomplete* — the stdlib flushes it as literal data at
-                # close(). A head whose next char is definitively not a
-                # name char ("<![/junk>", "<![ if ...") makes the stdlib
-                # RAISE, so parse_html keeps the partial tree — the fast
-                # path must abort the feed there too, not keep parsing.
-                secm = _RX_SECT_NAME.match(text, lt + 3)
-                if secm is None:
-                    if lt + 3 >= n:
-                        i = incomplete(lt)
-                        continue
-                    return
-                if secm.end() >= n:
-                    i = incomplete(lt)
-                    continue
-                sect = secm.group(0).lower()
-                if sect in _MS_SECTS:
-                    endm = _RX_MS_SECT_CLOSE.search(text, lt + 3)
-                elif sect in _STD_SECTS:
-                    endm = _RX_SECT_CLOSE.search(text, lt + 3)
-                else:
-                    return
-                if endm is None:
-                    i = incomplete(lt)
-                    continue
-                i = endm.end()
-                continue
-            gt = find(">", lt + 2)
-            if gt < 0:
-                i = incomplete(lt)
-                continue
-            body = text[lt + 2:gt]
-            if body[:7].lower() != "doctype":
-                # bogus comment: handle_comment for any "<!...>" that is
-                # not a doctype/marked section (stdlib)
-                handle_comment(body)
-            i = gt + 1
-            continue
-        if c == "?":
-            gt = find(">", lt + 2)
-            if gt < 0:
-                i = incomplete(lt)
-                continue
-            i = gt + 1
-            continue
-        m = _RX_TAGNAME.match(text, lt + 1)
+    c = text[lt + 1:lt + 2]
+    if c == "/":
+        # the strict form already failed in the master regex
+        gt_any = find(">", lt + 1)
+        if gt_any < 0:
+            return incomplete()
+        m = _RX_TAGNAME.match(text, lt + 2)
         if m is None:
-            # bare "<" → literal text (html.parser emits it as data,
-            # including a trailing "<" at EOF)
-            handle_data("<")
-            i = lt + 1
-            continue
-        sm = _RX_SIMPLE_STARTTAG.match(text, lt)
-        if sm is not None:
-            tag = sm.group(1).lower()
-            # Lazy attributes: hand the raw substring to the Element;
-            # _parse_simple_attrs materializes the dict on first access
-            # (most elements' attributes are never read by the cascade).
-            rawattrs = sm.group(2) or None
-            if sm.group(3):
-                builder._startend_fast(tag, None, rawattrs)
-                i = sm.end()
-                continue
-            handle_start(tag, None, rawattrs)
-            i = sm.end()
-            if tag in ("script", "style"):
-                endm = _RX_RAWTEXT_END[tag].search(text, i)
-                if endm is None:
-                    break
-                if endm.start() > i:
-                    handle_data(text[i:endm.start()])
-                handle_end(tag)
-                i = endm.end()
-            continue
+            if text[lt:lt + 3] == "</>":
+                return lt + 3
+            # "</" + junk -> bogus comment (stdlib parse_bogus_comment)
+            handle_comment(text[lt + 2:gt_any])
+            return gt_any + 1
         tag = m.group(0).lower()
-        # attributes until ">" (respecting quotes)
-        j = m.end()
-        attrib2: dict | None = None
-        selfclose = False
-        while j < n:
-            ch = text[j]
-            if ch == ">":
-                break
-            if ch == "/" and text[j + 1:j + 2] == ">":
-                selfclose = True
-                j += 1
-                break
-            am = _RX_ATTR.match(text, j)
-            if am is None or am.end() == j:
-                j += 1
-                continue
-            name = am.group(1).lower()
-            rawval = am.group(3)
-            if rawval is None:
-                val = ""
-            else:
-                if rawval[:1] in ("'", '"'):
-                    rawval = rawval[1:-1]
-                val = unescape(rawval) if "&" in rawval else rawval
-            if attrib2 is None:
-                attrib2 = {name: val}
-            elif name not in attrib2:
-                attrib2[name] = val
-            j = am.end()
-        gt = find(">", j)
-        if gt < 0:
-            i = incomplete(lt)
-            continue
-        if selfclose and gt == j:
-            # "<script/>" is a startend tag in stdlib: no cdata mode
-            builder._startend_fast(tag, attrib2)
-            i = gt + 1
-            continue
-        handle_start(tag, attrib2)
-        i = gt + 1
-        if tag in ("script", "style"):
-            # rawtext: no entity decoding; ends only at a full close tag;
-            # unterminated rawtext at EOF is dropped (stdlib cdata mode)
-            endm = _RX_RAWTEXT_END[tag].search(text, i)
+        gt = find(">", m.end())
+        builder.handle_endtag(tag)
+        return (gt + 1) if gt >= 0 else n
+    if c == "!":
+        if text[lt + 2:lt + 4] == "--":
+            # only EOF-incomplete comments reach here (master matched
+            # every closed one)
+            endm = _RX_COMMENT_CLOSE.search(text, lt + 4)
             if endm is None:
-                break
-            if endm.start() > i:
-                handle_data(text[i:endm.start()])
-            handle_end(tag)
-            i = endm.end()
+                return incomplete()
+            handle_comment(text[lt + 4:endm.start()])
+            return endm.end()
+        if text[lt + 2:lt + 3] == "[":
+            # marked section (stdlib parse_marked_section): standard
+            # sections close at "]]>", MS conditionals at "]>".
+            # A section head cut off by EOF ("<![", "<![CDATA") is
+            # *incomplete* — the stdlib flushes it as literal data at
+            # close(). A head whose next char is definitively not a
+            # name char ("<![/junk>", "<![ if ...") makes the stdlib
+            # RAISE, so parse_html keeps the partial tree — the fast
+            # path must abort the feed there too, not keep parsing.
+            secm = _RX_SECT_NAME.match(text, lt + 3)
+            if secm is None:
+                if lt + 3 >= n:
+                    return incomplete()
+                return n  # abort: stdlib raises
+            if secm.end() >= n:
+                return incomplete()
+            sect = secm.group(0).lower()
+            if sect in _MS_SECTS:
+                endm = _RX_MS_SECT_CLOSE.search(text, lt + 3)
+            elif sect in _STD_SECTS:
+                endm = _RX_SECT_CLOSE.search(text, lt + 3)
+            else:
+                return n  # abort: stdlib raises
+            if endm is None:
+                return incomplete()
+            return endm.end()
+        gt = find(">", lt + 2)
+        if gt < 0:
+            return incomplete()
+        body = text[lt + 2:gt]
+        if body[:7].lower() != "doctype":
+            # bogus comment: handle_comment for any "<!...>" that is
+            # not a doctype/marked section (stdlib)
+            handle_comment(body)
+        return gt + 1
+    if c == "?":
+        gt = find(">", lt + 2)
+        if gt < 0:
+            return incomplete()
+        return gt + 1
+    # tolerant start tag (the simple form already failed in the master
+    # regex; the lookahead guarantees a letter follows)
+    m = _RX_TAGNAME.match(text, lt + 1)
+    tag = m.group(0).lower()
+    # attributes until ">" (respecting quotes)
+    j = m.end()
+    attrib2: dict | None = None
+    selfclose = False
+    while j < n:
+        ch = text[j]
+        if ch == ">":
+            break
+        if ch == "/" and text[j + 1:j + 2] == ">":
+            selfclose = True
+            j += 1
+            break
+        am = _RX_ATTR.match(text, j)
+        if am is None or am.end() == j:
+            j += 1
+            continue
+        name = am.group(1).lower()
+        rawval = am.group(3)
+        if rawval is None:
+            val = ""
+        else:
+            if rawval[:1] in ("'", '"'):
+                rawval = rawval[1:-1]
+            val = _unescape(rawval) if "&" in rawval else rawval
+        if attrib2 is None:
+            attrib2 = {name: val}
+        elif name not in attrib2:
+            attrib2[name] = val
+        j = am.end()
+    gt = find(">", j)
+    if gt < 0:
+        return incomplete()
+    if selfclose and gt == j:
+        # "<script/>" is a startend tag in stdlib: no cdata mode
+        builder._startend_fast(tag, attrib2)
+        return gt + 1
+    builder._start_fast(tag, attrib2)
+    i = gt + 1
+    if tag in ("script", "style"):
+        # rawtext: no entity decoding; ends only at a full close tag;
+        # unterminated rawtext at EOF is dropped (stdlib cdata mode)
+        endm = _RX_RAWTEXT_END[tag].search(text, i)
+        if endm is None:
+            return n
+        if endm.start() > i:
+            builder.handle_data(text[i:endm.start()])
+        builder.handle_endtag(tag)
+        return endm.end()
+    return i
+
+
+def _fast_feed(text: str, builder: "_TreeBuilder") -> None:
+    n = len(text)
+    pos = 0
+    handle_data = builder.handle_data
+    handle_start = builder._start_fast
+    handle_end = builder.handle_endtag
+    handle_comment = builder.handle_comment
+
+    def emit_gap(chunk: str) -> None:
+        # Reproduce the per-construct loop's data chunking exactly:
+        # each bare "<" was emitted as its own one-char data call (the
+        # builder's foster-parenting and pre-body whitespace decisions
+        # are per-call, so merging chunks could move bytes).
+        if "<" not in chunk:
+            handle_data(_unescape(chunk) if "&" in chunk else chunk)
+            return
+        start = 0
+        while True:
+            p = chunk.find("<", start)
+            if p < 0:
+                rest = chunk[start:]
+                if rest:
+                    handle_data(_unescape(rest) if "&" in rest else rest)
+                return
+            if p > start:
+                piece = chunk[start:p]
+                handle_data(_unescape(piece) if "&" in piece else piece)
+            handle_data("<")
+            start = p + 1
+
+    while pos < n:
+        resume = -1
+        for m in _RX_MASTER.finditer(text, pos):
+            start = m.start()
+            if start > pos:
+                emit_gap(text[pos:start])
+            g = m.lastindex
+            if g == 3:  # simple start tag
+                tag = m.group(1).lower()
+                rawattrs = m.group(2) or None
+                if m.group(3):
+                    builder._startend_fast(tag, None, rawattrs)
+                    pos = m.end()
+                    continue
+                handle_start(tag, None, rawattrs)
+                pos = m.end()
+                if tag in ("script", "style"):
+                    endm = _RX_RAWTEXT_END[tag].search(text, pos)
+                    if endm is None:
+                        return  # unterminated rawtext at EOF: dropped
+                    if endm.start() > pos:
+                        handle_data(text[pos:endm.start()])
+                    handle_end(tag)
+                    resume = endm.end()
+                    break  # restart the iterator past the rawtext
+                continue
+            if g == 4:  # strict end tag
+                handle_end(m.group(4).lower())
+                pos = m.end()
+                continue
+            if g == 5:  # complete comment
+                handle_comment(m.group(5))
+                pos = m.end()
+                continue
+            # zero-width marker: one cold construct, then restart
+            resume = _feed_one(text, start, builder)
+            break
+        else:
+            if pos < n:
+                emit_gap(text[pos:])
+            return
+        if resume < 0:
+            return
+        pos = resume
 
 
 def parse_html(data: bytes | str) -> Element:
