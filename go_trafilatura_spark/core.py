@@ -120,15 +120,21 @@ def extract_document(doc: Element, options: Options, owns_doc: bool = False,
     tmp_comments = ""
     len_comments = 0
     comments_body: Element | None = None
+    shared_index = None
     if not options.exclude_comments:
-        comments_body, tmp_comments = extract_comments(doc, cache, options)
+        # One TagIndex serves both comment and content rule cascades:
+        # extract_comments never mutates doc (prune works on a clone).
+        shared_index = selectors.TagIndex(doc)
+        comments_body, tmp_comments = extract_comments(
+            doc, cache, options, index=shared_index)
         len_comments = len(tmp_comments)
     elif options.focus == FAVOR_PRECISION:
         # `doc` is our private working copy at this point — prune in place
         doc = prune_unwanted_nodes(doc, selectors.REMOVED_COMMENTS, in_place=True)
 
     # Content
-    post_body, tmp_body_text = extract_content(doc, cache, options)
+    post_body, tmp_body_text = extract_content(doc, cache, options,
+                                               index=shared_index)
 
     # Fallback comparison (external.go:50-101)
     if options.enable_fallback:

@@ -118,8 +118,8 @@ class Element:
     first access — attribute parsing is ~45% of tokenizer cost and most
     elements' attributes are never read by the cascade."""
 
-    __slots__ = ("tag", "_attrib", "_rawattrs", "text", "tail", "children",
-                 "parent")
+    __slots__ = ("tag", "_attrib", "_rawattrs", "_lraw", "text", "tail",
+                 "children", "parent")
 
     def __init__(self, tag: str, attrib: dict | None = None):
         self.tag = tag
@@ -128,6 +128,7 @@ class Element:
         # allocation per node — most nodes have no attributes).
         self._attrib = attrib if attrib is not None else _EMPTY_ATTRIB
         self._rawattrs: str | None = None
+        self._lraw: str | None = None  # lowercased raw, cached by screens
         self.text = ""
         self.tail = ""
         self.children: list[Element] = []
@@ -366,6 +367,7 @@ def _clone_with_tail(el: Element) -> Element:
     dup.tag = el.tag
     raw = el._rawattrs
     dup._rawattrs = raw
+    dup._lraw = el._lraw
     if raw is not None:
         dup._attrib = _EMPTY_ATTRIB
     else:
@@ -1003,6 +1005,7 @@ class _TreeBuilder(HTMLParser):
             el.tag = tag
             el._attrib = attrib if attrib is not None else _EMPTY_ATTRIB
             el._rawattrs = raw
+            el._lraw = None
             el.text = ""
             el.tail = ""
             el.children = []
@@ -1054,6 +1057,7 @@ class _TreeBuilder(HTMLParser):
         el.tag = tag
         el._attrib = attrib if attrib is not None else _EMPTY_ATTRIB
         el._rawattrs = raw
+        el._lraw = None
         el.text = ""
         el.tail = ""
         el.children = []

@@ -474,7 +474,8 @@ def recover_wild_text(doc: Element, result_body: Element, potential_tags: set, c
     etree.extend(result_body, processed_elems)
 
 
-def extract_content(doc: Element, cache, options) -> tuple[Element, str]:
+def extract_content(doc: Element, cache, options,
+                    index=None) -> tuple[Element, str]:
     """main-extractor.go:666-788 — the main content driver.
 
     The reference snapshots backupDoc upfront; here the rule loop is
@@ -495,8 +496,10 @@ def extract_content(doc: Element, cache, options) -> tuple[Element, str]:
 
     # One doc-order walk serves all five content rules (the matched
     # subtree is cloned before any mutation, so doc stays unchanged
-    # across iterations)
-    index = selectors.TagIndex(doc)
+    # across iterations); reused from extract_comments when the caller
+    # passes it (extract_comments is non-mutating).
+    if index is None:
+        index = selectors.TagIndex(doc)
     for rule in selectors.CONTENT:
         subtree = selectors.query(doc, rule, index.candidates(rule))
         if subtree is None:
@@ -569,14 +572,17 @@ def process_comments_node(elem: Element, potential_tags: set, cache, options) ->
     return None
 
 
-def extract_comments(doc: Element, cache, options) -> tuple[Element | None, str]:
-    """main-extractor.go:808-852."""
+def extract_comments(doc: Element, cache, options,
+                     index=None) -> tuple[Element | None, str]:
+    """main-extractor.go:808-852. ``index`` lets the caller share one
+    TagIndex across comments+content (this function never mutates
+    ``doc``: prune works on a clone)."""
     comments_body = etree.new_element("body")
     potential_tags = set(TAG_CATALOG)
 
-    # One doc-order walk serves all four comment rules (the tree is
-    # only read here; prune works on a clone)
-    index = selectors.TagIndex(doc)
+    # One doc-order walk serves all four comment rules
+    if index is None:
+        index = selectors.TagIndex(doc)
     for rule in selectors.COMMENTS:
         subtree = selectors.query(doc, rule, index.candidates(rule))
         if subtree is None:

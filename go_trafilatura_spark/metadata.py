@@ -884,6 +884,11 @@ def extract_license(doc: Element, index=None) -> str:
         else etree.get_elements_by_tag(doc, "a")
     )
     for a in a_nodes:
+        # rel=="license" needs the literal in the (entity-free) raw
+        # attribute substring — skip the lazy parse otherwise
+        raw = a._rawattrs
+        if raw is not None and "license" not in raw and "&" not in raw:
+            continue
         if a.get("rel") == "license" and "href" in a.attrib:
             result = parse_license_element(a, False)
             if result:
@@ -896,11 +901,18 @@ def extract_license(doc: Element, index=None) -> str:
         + etree.get_elements_by_tag(doc, "div")
     )
     for el in footer_nodes:
+        if el.tag != "footer":
+            raw = el._rawattrs
+            if raw is not None and "footer" not in raw and "&" not in raw:
+                continue
         if el.tag == "footer" or "footer" in el.get("class") or "footer" in el.get("id"):
             footers.add(id(el))
     if not footers:
         return ""
     for a in a_nodes:
+        raw = a._rawattrs
+        if raw is not None and "href" not in raw.lower():
+            continue  # attr names lowercase at parse; raw may not be
         if "href" not in a.attrib:
             continue
         anc = a.parent
@@ -1285,6 +1297,22 @@ def extract_date_fast(doc: Element, url: str, extensive: bool = False,
         scanned = 0
         for node in (index.elements if index is not None
                      else etree.iter_descendants(body)):
+            # No-parse prescreen mirroring _RX_DATE_CLASS's literals
+            # (camel-splitting only inserts spaces, so any rule match
+            # implies one of these appears in the entity-free raw):
+            # date|datum (⊃) / time|timestamp / post-?meta|posted-?on
+            # (⊃ "post") / entry-?meta (⊃ "entry") / byline / published
+            # (⊃ "publish") / dateline (⊃ "date") / submitted / created.
+            raw = node._rawattrs
+            if raw is not None and "&" not in raw:
+                lraw = node._lraw
+                if lraw is None:
+                    lraw = node._lraw = raw.lower()
+                if not ("date" in lraw or "time" in lraw or "post" in lraw
+                        or "entry" in lraw or "byline" in lraw
+                        or "publish" in lraw or "datum" in lraw
+                        or "submitted" in lraw or "created" in lraw):
+                    continue
             attrib = node.attrib
             if not attrib or node.tag in ("script", "style"):
                 continue

@@ -62,6 +62,7 @@ def _screened(elements: list, rule) -> list:
         return elements
     exempt = getattr(rule, "screen_exempt", None)
     concat = getattr(rule, "screen_concat", False)
+    rx = getattr(rule, "raw_screen_rx", None)
     out = []
     append = out.append
     for el in elements:
@@ -69,13 +70,17 @@ def _screened(elements: list, rule) -> list:
         if raw is None or "&" in raw:
             append(el)
             continue
-        lraw = raw.lower()
+        lraw = el._lraw
+        if lraw is None:
+            lraw = el._lraw = raw.lower()
         for p in screen:
             if p in lraw:
                 append(el)
                 break
         else:
             if exempt is not None and el.tag in exempt:
+                append(el)
+            elif rx is not None and rx.search(lraw) is not None:
                 append(el)
             elif concat and _RX_SCREEN_ID.search(lraw) \
                     and _RX_SCREEN_CS.search(lraw):
@@ -792,9 +797,11 @@ meta_title_rule_1.raw_screen = (
 meta_title_rule_2.raw_screen = ("entry-title", "post-title")
 meta_title_rule_3.raw_screen = ("title",)
 
-# "rel" over-passes attr names like rel= (whitespace-tolerant by
-# substring) — the rel in ("author","me") disjunct needs it.
-meta_author_rule_1.raw_screen = ("author", "rel")
+# rel in ("author","me"): rel=author carries the "author" literal;
+# rel=me alone needs the regex tier (a bare "me"/"rel" literal would
+# re-admit every rel-carrying link and most attribute soup).
+meta_author_rule_1.raw_screen = ("author",)
+meta_author_rule_1.raw_screen_rx = _re.compile(r"rel\s*=\s*[\"']?me\b")
 meta_author_rule_1.screen_exempt = frozenset(("author",))
 meta_author_rule_2.raw_screen = (
     "author", "byl", "username", "bbl", "channel-name", "zuozhe", "bianji",
@@ -884,8 +891,15 @@ def anchors_by_ancestor(index: "TagIndex", rule) -> list[Element] | None:
         if cscreen is not None:
             raw = el._rawattrs
             if raw is not None and "&" not in raw:
-                lraw = raw.lower()
-                if not any(p in lraw for p in cscreen):
+                lraw = el._lraw
+                if lraw is None:
+                    lraw = el._lraw = raw.lower()
+                # explicit loop: a genexpr per element costs more than
+                # the substring checks themselves
+                for p in cscreen:
+                    if p in lraw:
+                        break
+                else:
                     continue
         if pred(el):
             ids.add(id(el))
