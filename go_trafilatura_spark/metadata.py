@@ -1166,40 +1166,42 @@ def _scan_all_dates(text: str) -> list[str]:
     return out
 
 
-def extract_date_fast(doc: Element, url: str, extensive: bool = False,
-                      index=None) -> str:
-    """htmldate-style publish-date cascade with original-date preference
-    (go-htmldate runs with UseOriginalDate=true — metadata.go:98):
-    url full date → published meta → time/abbr elements → JSON-LD →
-    date-classed containers → modified-date reserve → (extensive only)
-    full-document scan choosing the most frequent, earliest candidate."""
+def _date_tier_candidates(doc: Element, url: str, extensive: bool,
+                          index, url_first: bool):
+    """Yield (tier, date) pairs in cascade priority order — each tier's
+    FIRST valid candidate, lazily (fast mode stops at the first yield,
+    so tier cost is only paid when every earlier tier came up empty).
+    Tier semantics are the round-3 cascade unchanged; ``url_first``
+    False moves the /YYYY/MM/DD/ URL tier after the published meta scan
+    (go-htmldate's meta-first parity order — see Options.date_url_first
+    for the measured default)."""
     reserve = ""
 
-    # 1. meta tags (go-htmldate examines the header first). All
-    # published-key candidates are collected and the EARLIEST wins —
-    # UseOriginalDate semantics: when a CMS stamps both the original
-    # and a republished/edited date in meta, the original is wanted.
-    # Modified keys are only a reserve.
     url_date = ""
     if url:
         m = _RX_URL_DATE.search(url)
         if m:
             url_date = _valid_date(int(m.group(1)), int(m.group(2)), int(m.group(3)))
 
-    if url_date:
-        return url_date
+    if url_first and url_date:
+        yield "url", url_date
 
+    # published meta tags; modified keys feed the reserve
+    meta_pub = ""
     for node in (index.of_tag("meta") if index is not None
                  else etree.get_elements_by_tag(doc, "meta")):
         key = (node.get("property") or node.get("name") or node.get("itemprop")).lower()
-        if key in _DATE_META_PUBLISHED:
-            date = _parse_date_string(node.get("content"))
-            if date:
-                return date
+        if key in _DATE_META_PUBLISHED and not meta_pub:
+            meta_pub = _parse_date_string(node.get("content"))
+            if meta_pub:
+                yield "meta_pub", meta_pub
         elif not reserve and key in _DATE_META_MODIFIED:
             reserve = _parse_date_string(node.get("content"))
 
-    # 3. <time> and <abbr> elements (published markers first)
+    if not url_first and url_date:
+        yield "url", url_date
+
+    # <time> and <abbr> elements (published markers first)
     time_nodes = (index.of_tag("time") if index is not None
                   else etree.get_elements_by_tag(doc, "time"))
     for node in time_nodes:
@@ -1207,7 +1209,8 @@ def extract_date_fast(doc: Element, url: str, extensive: bool = False,
         if itemprop in ("datepublished", "datecreated") or node.get("pubdate"):
             date = _parse_date_string(node.get("datetime") or etree.text_content(node))
             if date:
-                return date
+                yield "time_pub", date
+                break
     for node in time_nodes:
         # A bare <time> inside the comment section is a comment
         # timestamp, not the article date (htmldate's selectors skip
@@ -1216,25 +1219,24 @@ def extract_date_fast(doc: Element, url: str, extensive: bool = False,
             continue
         date = _parse_date_string(node.get("datetime") or etree.text_content(node))
         if date:
-            return date
+            yield "time_bare", date
+            break
     for node in (index.of_tag("abbr") if index is not None
                  else etree.get_elements_by_tag(doc, "abbr")):
         if _RX_DATE_CLASS.search(node.get("class")):
             date = _parse_date_string(node.get("title") or etree.text_content(node))
             if date:
-                return date
+                yield "abbr", date
+                break
 
-    # 3b. Microdata on arbitrary elements (htmldate's itemprop scan is
-    # not limited to <time>): <span itemprop="datePublished"
-    # content="...">. Modified stamps feed the reserve. The shared
-    # TagIndex element list (one doc-order walk per document, built by
-    # extract_metadata) replaces a fresh traversal.
+    # Microdata on arbitrary elements (htmldate's itemprop scan is not
+    # limited to <time>); modified stamps feed the reserve.
     all_elements = (index.elements if index is not None
                     else etree.iter_descendants(doc))
+    micro = ""
     for node in all_elements:
         # No-parse prescreen: an element whose raw attribute substring
-        # never mentions "itemprop" cannot carry the microdata key —
-        # skips the lazy attribute parse for the whole page walk.
+        # never mentions "itemprop" cannot carry the microdata key.
         raw = node._rawattrs
         if raw is not None and "itemprop" not in raw:
             continue
@@ -1242,67 +1244,57 @@ def extract_date_fast(doc: Element, url: str, extensive: bool = False,
         if not itemprop:
             continue
         key = itemprop.lower()
-        if key in ("datepublished", "datecreated"):
-            date = _parse_date_string(
+        if key in ("datepublished", "datecreated") and not micro:
+            micro = _parse_date_string(
                 node.get("content") or node.get("datetime"))
-            if date:
-                return date
+            if micro:
+                yield "micro", micro
         elif not reserve and key in ("datemodified", "dateupdate"):
             reserve = _parse_date_string(
                 node.get("content") or node.get("datetime"))
 
-    # 4. JSON-LD datePublished / dateCreated (dateModified as reserve)
+    # JSON-LD datePublished / dateCreated (dateModified as reserve)
+    jsonld = ""
     for script in css.query_all(doc, _JSONLD_SELECTORS, index):
         text = etree.text_content(script)
         m = stdlib_re.search(
             r'"(?:datePublished|dateCreated)"\s*:\s*"([^"]+)"', text
         )
-        if m:
-            date = _parse_date_string(m.group(1))
-            if date:
-                return date
+        if m and not jsonld:
+            jsonld = _parse_date_string(m.group(1))
+            if jsonld:
+                yield "jsonld", jsonld
         if not reserve:
             m = stdlib_re.search(r'"dateModified"\s*:\s*"([^"]+)"', text)
             if m:
                 reserve = _parse_date_string(m.group(1))
 
-    # 5a. Explicit publication announcements in visible text
-    # ("Veröffentlicht am 16.08.2019", "Erschienen am: ...", "Publié
-    # le ..."): a stated publication line beats a date-classed
-    # container, which on comment-bearing pages often holds a comment
-    # or teaser date instead.
+    # Explicit publication announcements in visible text
+    # ("Veroeffentlicht am 16.08.2019", "Publie le ...")
     body = etree.body_of(doc)
     marker_text = ""
+    marker_low = ""
     if body is not None:
         # iter_text: element boundaries become separators, so a date
-        # glued to a neighboring element's text ("am09.02.2022Habt")
-        # keeps its word boundaries. The 300 KB cap bounds worst-case
-        # cost; real markers cluster near the top but listing layouts
-        # can push the article body past 50 KB.
+        # glued to a neighboring element's text keeps its word
+        # boundaries. The 300 KB cap bounds worst-case cost.
         marker_text = etree.iter_text(body, "\n")[:300000]
         marker_low = marker_text.lower()
         if any(k in marker_low for k in _PUB_MARKER_KEYS):
             for m in _RX_PUB_MARKER.finditer(marker_text):
                 date = _parse_date_string(marker_text[m.end():m.end() + 48])
                 if date:
-                    return date
+                    yield "marker_pub", date
+                    break
 
-    # 5b. Date-classed visible containers (htmldate DATE_EXPRESSIONS).
-    # Attribute-less nodes are skipped on the fast path and the scan is
-    # bounded — date markers live near the top of real pages. The
-    # shared index list covers the whole doc; head elements carry no
-    # date-classed containers (the parser moves stray flow content
-    # into body), so the scan domain is equivalent.
+    # Date-classed visible containers (htmldate DATE_EXPRESSIONS).
     if body is not None:
         scanned = 0
         for node in (index.elements if index is not None
                      else etree.iter_descendants(body)):
             # No-parse prescreen mirroring _RX_DATE_CLASS's literals
             # (camel-splitting only inserts spaces, so any rule match
-            # implies one of these appears in the entity-free raw):
-            # date|datum (⊃) / time|timestamp / post-?meta|posted-?on
-            # (⊃ "post") / entry-?meta (⊃ "entry") / byline / published
-            # (⊃ "publish") / dateline (⊃ "date") / submitted / created.
+            # implies one of these appears in the entity-free raw).
             raw = node._rawattrs
             if raw is not None and "&" not in raw:
                 lraw = node._lraw
@@ -1324,43 +1316,41 @@ def extract_date_fast(doc: Element, url: str, extensive: bool = False,
                 blob = trim(etree.iter_text(node, " "))[:512]
                 date = _parse_date_string(blob)
                 if date:
-                    return date
+                    yield "container", date
+                    break
                 scanned += 1
                 if scanned >= 200:
                     break
 
-    # 6. Modified-date reserve
+    # Modified-date reserve
     if reserve:
-        return reserve
+        yield "reserve", reserve
 
-    # 7. Bounded visible-text scan (htmldate's search_page behaviour;
-    # explicit publication phrases were already consulted in 5a). An
-    # announced modification stamp ("Letzte Änderung: 14.01.2022",
-    # "Last updated ...") still names the article better than the
-    # first bare date in reading order, which on portals is often a
-    # sidebar teaser's.
+    # Bounded visible-text scan (htmldate's search_page behaviour).
+    # An announced modification stamp still names the article better
+    # than the first bare date in reading order.
     if marker_text:
         if any(k in marker_low for k in _MOD_MARKER_KEYS):
             for m in _RX_MOD_MARKER.finditer(marker_text):
                 date = _parse_date_string(marker_text[m.end():m.end() + 48])
                 if date:
-                    return date
+                    yield "marker_mod", date
+                    break
         date = _parse_date_string(marker_text)
         if date:
-            return date
+            yield "text_scan", date
 
     if extensive:
-        # 8. Description/title meta content (visible-date phrasing like
-        # "Notizia del 14 Gennaio 2020" often survives only there).
+        # Description/title meta content
         for node in (index.of_tag("meta") if index is not None
                  else etree.get_elements_by_tag(doc, "meta")):
             key = (node.get("property") or node.get("name")).lower()
             if key in ("description", "og:description", "og:title", "twitter:description"):
                 date = _parse_date_string(node.get("content"))
                 if date:
-                    return date
-        # 9. Embedded-JSON keys anywhere in the document (JS-rendered
-        # pages carry published_at/datePublished in script state).
+                    yield "desc_meta", date
+                    break
+        # Embedded-JSON keys anywhere in the document
         whole = etree.iter_text(doc, "\n")[:400000]
         m = stdlib_re.search(
             r'(?i)"(?:published_at|datePublished|publishedDate|datePosted|'
@@ -1370,27 +1360,23 @@ def extract_date_fast(doc: Element, url: str, extensive: bool = False,
         if m:
             date = _parse_date_string(m.group(1))
             if date:
-                return date
-        # 10. Late URL patterns: dash-separated dates in the path
-        # (yyyy-mm-dd or dd-mm-yyyy segments) — consulted only after
-        # every in-document tier failed (a /yyyy/mm/dd/ slot was the
-        # authoritative early tier; dashes are weaker evidence).
+                yield "embedded_json", date
+        # Late URL patterns: dash-separated dates in the path (yyyy-mm-dd
+        # first, dd-mm-yyyy as fallback — the fallback also applies when
+        # the first form matched but failed date validation)
         if url:
+            date = ""
             m = stdlib_re.search(r"/(\d{4})-(\d{2})-(\d{2})(?:[/.]|$)", url)
             if m:
                 date = _valid_date(int(m.group(1)), int(m.group(2)), int(m.group(3)))
-                if date:
-                    return date
-            m = stdlib_re.search(r"/(\d{2})-(\d{2})-(\d{4})(?:[/.]|$)", url)
-            if m:
-                date = _valid_date(int(m.group(3)), int(m.group(2)), int(m.group(1)))
-                if date:
-                    return date
-        # 11. Whole-document frequency pick over the SERIALIZED html
-        # (attribute values carry dates the visible text lost — lazy-
-        # loaded links, onclick urls; go-htmldate's extensive search
-        # also scans the raw html), earliest on ties (original-date
-        # preference).
+            if not date:
+                m = stdlib_re.search(r"/(\d{2})-(\d{2})-(\d{4})(?:[/.]|$)", url)
+                if m:
+                    date = _valid_date(int(m.group(3)), int(m.group(2)), int(m.group(1)))
+            if date:
+                yield "url_dash", date
+        # Whole-document frequency pick over the SERIALIZED html,
+        # earliest on ties (original-date preference).
         found = _scan_all_dates(whole)
         if not found:
             found = _scan_all_dates(etree.tostring(doc)[:400000])
@@ -1399,9 +1385,61 @@ def extract_date_fast(doc: Element, url: str, extensive: bool = False,
 
             counts = Counter(found)
             top_n = max(counts.values())
-            return sorted(d for d, n in counts.items() if n == top_n)[0]
+            yield "freq_scan", sorted(
+                d for d, n in counts.items() if n == top_n)[0]
 
-    return ""
+
+def extract_date_fast(doc: Element, url: str, extensive: bool = False,
+                      index=None, url_first: bool = True) -> str:
+    """htmldate-style publish-date cascade with original-date preference
+    (go-htmldate runs with UseOriginalDate=true — metadata.go:98):
+    url full date → published meta → time/abbr elements → JSON-LD →
+    date-classed containers → modified-date reserve → (extensive only)
+    full-document scan choosing the most frequent, earliest candidate.
+
+    Fast mode returns the first tier hit (lazy — later tiers never
+    run). Extensive mode drains every tier and applies ONE per-page
+    arbitration on top of cascade order: when the cascade winner and an
+    alternative candidate differ by EXACTLY one calendar day (the
+    timezone-skew signature: a meta datetime stamped in another zone
+    renders a different day than the visible date) and at least two
+    more tiers agree on the alternative, the majority day wins (ties in
+    support break by cascade order). Measured on the comparison corpus:
+    +4 exact (643 → 647 of 733); broader voting/reordering rules all
+    measured net-negative (NOTES.md round-4 log)."""
+    gen = _date_tier_candidates(doc, url, extensive, index, url_first)
+    if not extensive:
+        for _tier, val in gen:
+            return val
+        return ""
+    cands = [(t, v) for t, v in gen]
+    if not cands:
+        return ""
+    first = cands[0][1]
+    import datetime
+
+    try:
+        f = datetime.date.fromisoformat(first)
+    except ValueError:
+        return first
+    support: dict = {}
+    order: list = []
+    for _t, v in cands:
+        if v not in support:
+            order.append(v)
+        support[v] = support.get(v, 0) + 1
+    best = None
+    for v in order:
+        if v == first:
+            continue
+        try:
+            dv = datetime.date.fromisoformat(v)
+        except ValueError:
+            continue
+        if abs((dv - f).days) == 1 and support[v] - support[first] >= 2:
+            if best is None or support[v] > support[best]:
+                best = v
+    return best if best is not None else first
 
 
 # ---------------------------------------------------------------------------
@@ -1463,7 +1501,8 @@ def extract_metadata(doc: Element, options) -> Metadata:
             or (options.date_mode == "default" and getattr(options, "enable_fallback", False))
         )
         metadata.date = extract_date_fast(
-            doc, metadata.url, extensive=extensive, index=idx())
+            doc, metadata.url, extensive=extensive, index=idx(),
+            url_first=getattr(options, "date_url_first", True))
 
     if metadata.sitename == "":
         metadata.sitename = extract_dom_sitename(doc)

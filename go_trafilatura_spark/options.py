@@ -49,6 +49,11 @@ class Options:
     prune_selector: str = ""
     # date extraction: "fast" (meta/url/time subset) or "disabled"
     date_mode: str = "fast"
+    # True (measured default): a full /YYYY/MM/DD/ URL date outranks
+    # published meta tags (92.5% tier reliability vs 89.2% on the
+    # comparison corpus; 4-of-6 contested pages favor the URL). False
+    # restores go-htmldate's meta-first parity order.
+    date_url_first: bool = True
 
     def to_dict(self) -> dict:
         return {
@@ -64,6 +69,7 @@ class Options:
             "max_tree_size": self.max_tree_size,
             "prune_selector": self.prune_selector,
             "date_mode": self.date_mode,
+            "date_url_first": self.date_url_first,
         }
 
     @classmethod

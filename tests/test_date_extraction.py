@@ -162,3 +162,45 @@ def test_modified_marker_beats_first_bare_date():
         "<p>Letzte Änderung: 14.01.2022 um 09:25</p></body></html>"
     )
     assert extract_date_fast(d, "") == "2022-01-14"
+
+
+def test_timezone_skew_arbitration_extensive():
+    """Extensive mode: when the cascade winner differs from a candidate
+    by exactly one day and >=2 more tiers agree on the alternative (the
+    timezone-skew signature), the majority calendar day wins."""
+    d = doc(
+        '<html><head>'
+        '<meta property="article:published_time" '
+        'content="2019-10-18T23:30:00+02:00"/></head>'
+        '<body><time datetime="2019-10-19">19.10.2019</time>'
+        '<div class="post-date">19.10.2019</div>'
+        '<p>Am 19.10.2019 wurde berichtet.</p></body></html>'
+    )
+    # fast mode keeps first-tier-wins behavior (meta published)
+    assert extract_date_fast(d, "") == "2019-10-18"
+    assert extract_date_fast(d, "", extensive=True) == "2019-10-19"
+
+
+def test_timezone_skew_needs_majority():
+    # one lone disagreeing tier (a bare <time> datetime with no visible
+    # date text) does NOT override the cascade winner
+    d = doc(
+        '<html><head>'
+        '<meta property="article:published_time" '
+        'content="2019-10-18T23:30:00+02:00"/></head>'
+        '<body><time datetime="2019-10-19">yesterday</time>'
+        "<p>no other dates here</p></body></html>"
+    )
+    assert extract_date_fast(d, "", extensive=True) == "2019-10-18"
+
+
+def test_date_url_first_flag():
+    """url_first=True (measured default): a /YYYY/MM/DD/ URL date
+    outranks published meta; False restores meta-first parity order."""
+    d = doc(
+        '<html><head><meta property="article:published_time" '
+        'content="2021-05-10"/></head><body><p>x</p></body></html>'
+    )
+    url = "https://ex.com/2021/05/12/some-post/"
+    assert extract_date_fast(d, url) == "2021-05-12"
+    assert extract_date_fast(d, url, url_first=False) == "2021-05-10"
