@@ -196,6 +196,28 @@ def q_lang_id(spark, sf_dir):
     return df.select("doc_id", *casts, "pred_lang")
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: 4-gram collisions of every document
+    against the deterministic benchmark subset (doc_id % 100 == 0 —
+    the stand-in for an eval suite; production n_gram default is 13)."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % 100 == 0)
+    return textops.decontaminate(docs, bench, n_gram=4).select(
+        "doc_id",
+        F.col("n_grams").cast("bigint").alias("n_grams"),
+        F.col("n_contaminated").cast("bigint").alias("n_contaminated"),
+        F.col("contaminated").cast("int").alias("contaminated"),
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-language 25% downsample (hash bucketing, no
+    RNG) — rows and buckets reproduce bit-for-bit in the oracle."""
+    return textops.stratified_sample(
+        _docs(spark, sf_dir), strata_col="lang", fraction=0.25
+    ).select("doc_id", "lang", F.col("bucket").cast("bigint").alias("bucket"))
+
+
 def q_ann_bruteforce(spark, sf_dir):
     return textops.ann_bruteforce_topk(_emb(spark, sf_dir), query_vec_id=0, k=10)
 
@@ -402,6 +424,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition": q_gopher_repetition,
         "gopher_quality": q_gopher_quality,
         "lang_id": q_lang_id,
+        "decontaminate": q_decontaminate,
+        "stratified_sample": q_stratified_sample,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
         "embedding_neardup": q_embedding_neardup,
@@ -822,6 +846,36 @@ FROM reach GROUP BY a""",
         "gopher_repetition": _sql_gopher_repetition(),
         "gopher_quality": _sql_gopher_quality(),
         "lang_id": _sql_lang_id(),
+        "decontaminate": """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents WHERE length(trim(text)) > 0
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+  FROM (
+    SELECT doc_id,
+           unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                   FOR i IN range(1, greatest(len(t)-3, 0)+1)]) AS g
+    FROM toks WHERE len(t) >= 4
+  )
+),
+bench AS (SELECT DISTINCT h FROM grams WHERE doc_id % 100 = 0),
+hits AS (
+  SELECT g.doc_id, count(*) AS n_contaminated
+  FROM grams g SEMI JOIN bench b ON g.h = b.h
+  GROUP BY g.doc_id
+),
+totals AS (SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id)
+SELECT t.doc_id, t.n_grams, coalesce(h.n_contaminated, 0) AS n_contaminated,
+       CASE WHEN coalesce(h.n_contaminated, 0) > 0 THEN 1 ELSE 0 END AS contaminated
+FROM totals t LEFT JOIN hits h ON t.doc_id = h.doc_id""",
+        "stratified_sample": """
+SELECT doc_id, lang,
+       ('0x' || substr(md5('s0|' || lang || '|' || doc_id::VARCHAR), 1, 15))::BIGINT % 10000 AS bucket
+FROM documents
+WHERE ('0x' || substr(md5('s0|' || lang || '|' || doc_id::VARCHAR), 1, 15))::BIGINT % 10000 < 2500""",
         "ann_bruteforce": """
 SELECT e.vec_id,
        round(list_cosine_similarity(e.embedding, q.embedding), 4) AS cosine

@@ -673,3 +673,64 @@ def gopher_quality_filter(df: DataFrame) -> DataFrame:
         F.col("ok_min_tokens") & F.col("ok_max_tokens") & F.col("ok_word_len")
         & F.col("ok_stopwords") & F.col("ok_top2") & F.col("ok_dup5"),
     )
+
+
+# -- benchmark decontamination ----------------------------------------------
+
+def decontaminate(df: DataFrame, benchmark_df: DataFrame,
+                  n_gram: int = 13) -> DataFrame:
+    """Training-data decontamination: per document, how many of its
+    distinct token n-grams collide with any n-gram of a benchmark/eval
+    set (the standard 13-gram overlap check used when scrubbing eval
+    suites out of pretraining corpora).
+
+    Scale shape (100 TB corpus, benchmark side small by definition —
+    eval suites are MBs): the benchmark explodes to a DISTINCT n-gram
+    hash set that BROADCASTS, so the corpus side is scanned once with a
+    broadcast hash join — no shuffle of corpus data at all. The per-doc
+    distinct() before the join is a map-side dedup of each document's
+    grams (aggregation keyed on (doc_id, gram) partitions cleanly).
+    Portable md5 gram hashing → the DuckDB oracle reproduces counts
+    bit-for-bit."""
+    def grams(frame, k):
+        toks = with_tokens(frame).select("doc_id", "tokens")
+        expr = (f"transform(sequence(1, size(tokens) - {k - 1}), "
+                f"i -> array_join(slice(tokens, i, {k}), ' '))")
+        return (toks.where(F.size("tokens") >= k)
+                .select("doc_id", F.explode(F.expr(expr)).alias("gram"))
+                .select("doc_id", _md5_bigint(F.col("gram")).alias("h"))
+                .distinct())
+
+    bench = grams(benchmark_df, n_gram).select("h").distinct()
+    corpus = grams(df, n_gram)
+    hits = (corpus.join(F.broadcast(bench), "h", "left_semi")
+            .groupBy("doc_id").agg(F.count("*").alias("n_contaminated")))
+    totals = corpus.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
+    return (totals.join(hits, "doc_id", "left")
+            .select("doc_id", "n_grams",
+                    F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"))
+            .withColumn("contaminated", F.col("n_contaminated") > 0))
+
+
+# -- stratified deterministic sampling ---------------------------------------
+
+def stratified_sample(df: DataFrame, strata_col: str = "lang",
+                      fraction: float = 0.25, salt: str = "s0",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Deterministic stratified sampling: keep ~``fraction`` of rows
+    WITHIN each stratum by hashing (salt, stratum, id) — the standard
+    downsample-per-domain/language step of a corpus pipeline, exactly
+    reproducible across engines and runs (no RNG state).
+
+    Scale shape: pure projection + filter — the hash needs only the
+    row, so the predicate pushes to the scan and NOTHING shuffles; at
+    100 TB this is a single pass. Changing the mix per stratum is a
+    constant (a per-stratum fraction map would join a tiny broadcast
+    dim instead)."""
+    bucket = _md5_bigint(
+        F.concat_ws("|", F.lit(salt), F.col(strata_col).cast("string"),
+                    F.col(id_col).cast("string"))
+    ) % 10000
+    return (df.select(id_col, strata_col, bucket.alias("bucket"))
+            .where(F.col("bucket") < int(fraction * 10000))
+            .select(id_col, strata_col, "bucket"))

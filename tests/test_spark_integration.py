@@ -542,6 +542,46 @@ def test_dedup_clusters_reliable_checkpoint(spark):
         textops.dedup_clusters(df, checkpoint="bogus")
 
 
+def test_decontaminate(spark):
+    """Benchmark n-gram decontamination: exact n-gram overlap flags the
+    contaminated doc; disjoint docs stay clean; sub-n docs drop out."""
+    from go_trafilatura_spark import textops
+
+    bench_text = "the quick brown fox jumps over the lazy dog tonight"
+    rows = [
+        (1, bench_text + " and some extra words follow here"),  # overlaps
+        (2, "completely different tokens with no benchmark overlap at all"),
+        (3, "short doc"),                                        # < n tokens
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           textops.decontaminate(docs, bench, n_gram=5).collect()}
+    assert set(out) == {1, 2}  # doc 3 has < 5 tokens
+    assert out[1]["contaminated"] and out[1]["n_contaminated"] >= 5
+    assert not out[2]["contaminated"] and out[2]["n_contaminated"] == 0
+
+
+def test_stratified_sample_deterministic(spark):
+    """Hash sampling is deterministic, within-stratum, and respects the
+    fraction roughly; fraction=1 keeps everything."""
+    from go_trafilatura_spark import textops
+
+    rows = [(i, f"text {i}", "en" if i % 2 == 0 else "de") for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    s1 = sorted(r["doc_id"] for r in
+                textops.stratified_sample(df, "lang", 0.25).collect())
+    s2 = sorted(r["doc_id"] for r in
+                textops.stratified_sample(df, "lang", 0.25).collect())
+    assert s1 == s2  # no RNG state anywhere
+    assert 0.15 * 400 < len(s1) < 0.35 * 400
+    assert len(textops.stratified_sample(df, "lang", 1.0).collect()) == 400
+    # different salt → different (deterministic) subset
+    s3 = sorted(r["doc_id"] for r in
+                textops.stratified_sample(df, "lang", 0.25, salt="s1").collect())
+    assert s3 != s1
+
+
 def test_gopher_repetition_metrics(spark):
     from go_trafilatura_spark import textops
 
