@@ -306,6 +306,22 @@ def text_content(el: Element) -> str:
     return "".join(parts)
 
 
+def text_len(el: Element) -> int:
+    """len(text_content(el)) without materializing the string (the
+    prune backup's 6/7-loss checks only need the length). Same
+    accounting as _collect_text: comment text skipped, every child's
+    tail counted."""
+    n = len(el.text) if el.tag != COMMENT else 0
+    stack = el.children[:]
+    while stack:
+        node = stack.pop()
+        n += len(node.tail)
+        if node.tag != COMMENT:
+            n += len(node.text)
+            stack.extend(node.children)
+    return n
+
+
 def _collect_text(el: Element, parts: list[str]) -> None:
     if el.tag == COMMENT:
         return
@@ -1048,7 +1064,8 @@ class _TreeBuilder(HTMLParser):
             self._close_upto(("table",), ("td", "th", "caption"))
         if flags & _F_AUTOCLOSE:
             self._autoclose(tag)
-        parent = self._current()
+        stack = self.stack
+        parent = stack[-1] if stack else (self.body if self.in_body else self.head)
         fostered = parent.tag in _TABLE_CONTEXT and not (flags & _F_TABLE_OK)
         if not fostered and self.afe and not (flags & _F_NO_RECONSTRUCT):
             self._reconstruct()
@@ -1157,11 +1174,12 @@ class _TreeBuilder(HTMLParser):
         # ignore unmatched end tag
 
     def handle_data(self, data: str) -> None:
-        if not self.in_body and not self.stack:
+        stack = self.stack
+        if not self.in_body and not stack:
             if data.strip() == "":
                 return
             self.in_body = True
-        cur = self._current()
+        cur = stack[-1] if stack else (self.body if self.in_body else self.head)
         if cur.tag in _TABLE_CONTEXT:
             # Foster-parent non-whitespace text out of table structure;
             # whitespace between rows/sections stays put.
@@ -1172,7 +1190,13 @@ class _TreeBuilder(HTMLParser):
             return
         if self.in_body and self.afe:
             self._reconstruct()
-        self._append_text(data)
+            self._append_text(data)
+            return
+        # common path: append to the current node without re-resolving it
+        if cur.children:
+            cur.children[-1].tail += data
+        else:
+            cur.text += data
 
     def handle_comment(self, data: str) -> None:
         parent = self._current()

@@ -125,7 +125,7 @@ def prune_unwanted_nodes(tree: Element, rules, with_backup: bool = False,
         # The un-pruned input IS the backup; a second clone is taken
         # only when mutating in place (revert re-clones the original in
         # the rare >6/7-loss case instead of paying a clone every call).
-        old_len = len(etree.text_content(tree))
+        old_len = etree.text_len(tree)
         if in_place:
             backup = etree.clone(tree, True)
     if not in_place:
@@ -167,7 +167,7 @@ def prune_unwanted_nodes(tree: Element, rules, with_backup: bool = False,
             etree.remove(sub)
 
     if with_backup:
-        new_len = len(etree.text_content(tree))
+        new_len = etree.text_len(tree)
         if new_len <= old_len // 7:
             return backup if in_place else etree.clone(original, True)
     return tree
