@@ -1139,7 +1139,20 @@ class _TreeBuilder(HTMLParser):
         self._start_fast(tag, attrib, raw)
 
     def handle_endtag(self, tag: str) -> None:
+        # Fast path: the overwhelmingly common well-nested case — the
+        # open element is on top of the stack AND the tag has no
+        # special end-tag rule beyond popping (codes 0/7; formatting
+        # tags must run the adoption agency so their AFE entry is
+        # removed, html/head/body/br/td/table have their own rules).
         code = _END_CODE.get(tag, 0)
+        stack = self.stack
+        if (code == 0 or code == 7) and stack and stack[-1].tag == tag:
+            stack.pop()
+            if tag == "p":
+                self.n_open_p -= 1
+            elif tag in ("svg", "math"):
+                self.foreign -= 1
+            return
         if code:
             if code == 1:  # html / head
                 return
@@ -1495,7 +1508,11 @@ def _fast_feed(text: str, builder: "_TreeBuilder") -> None:
         for m in _RX_MASTER.finditer(text, pos):
             start = m.start()
             if start > pos:
-                emit_gap(text[pos:start])
+                chunk = text[pos:start]
+                if "<" not in chunk:
+                    handle_data(_unescape(chunk) if "&" in chunk else chunk)
+                else:
+                    emit_gap(chunk)
             g = m.lastindex
             if g == 3:  # simple start tag
                 tag = m.group(1).lower()
