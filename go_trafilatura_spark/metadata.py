@@ -995,6 +995,10 @@ _MONTHS = {
     "januari": 1, "februari": 2, "maart": 3, "mei": 5, "augustus": 8,
 }
 _MONTH_ALT = "|".join(sorted(_MONTHS, key=len, reverse=True))
+# C-substring triggers for the month-name patterns: a name match implies
+# its first three letters appear (case-folded) — ~30 memmem scans gate
+# the two big IGNORECASE alternations on month-less text.
+_MONTH_TRIGGERS = tuple(sorted({m[:3] for m in _MONTHS}))
 # "January 20, 2020" / "Jan 20 2020"
 _RX_MDY_NAME = stdlib_re.compile(
     rf"(?i)\b({_MONTH_ALT})\.?\s+(\d{{1,2}})(?:st|nd|rd|th)?,?\s+(\d{{4}})\b"
@@ -1085,46 +1089,59 @@ def _parse_date_string(s: str) -> str:
     # substring "19" or "20" — two C-level scans gate five finditer
     # passes on year-less text (the common case on date-free pages).
     if "20" not in s and "19" not in s:
+        if "." not in s:
+            return ""
         for m in _RX_DMY2_DATE.finditer(s):
             d = _valid_date(2000 + int(m.group(3)), int(m.group(2)), int(m.group(1)))
             if d:
                 return d
         return ""
-    for m in _RX_ISO_DATE.finditer(s):
-        d = _valid_date(int(m.group(1)), int(m.group(2)), int(m.group(3)))
-        if d:
-            return d
-    for m in _RX_DMY_DATE.finditer(s):
-        d = _valid_date(int(m.group(3)), int(m.group(2)), int(m.group(1)))
-        if d:
-            return d
-    for i, m in enumerate(_RX_MDY_DATE.finditer(s)):
-        if i >= 25:
-            break  # digit-dense blobs: bound the invalid-candidate walk
-        a, b = int(m.group(1)), int(m.group(2))
-        if a > 12 and b <= 12:
-            # 14/01/2020 can only be day-first
-            a, b = b, a
-        d = _valid_date(int(m.group(3)), a, b)
-        if d:
-            return d
+    # Per-pattern C-substring gates: each regex needs a literal its
+    # match must contain, so a failed `in` proves no match without the
+    # full regex scan (the expensive case is a 100 KB+ dateless blob).
+    if "-" in s:
+        for m in _RX_ISO_DATE.finditer(s):
+            d = _valid_date(int(m.group(1)), int(m.group(2)), int(m.group(3)))
+            if d:
+                return d
+    has_dot = "." in s
+    if has_dot:
+        for m in _RX_DMY_DATE.finditer(s):
+            d = _valid_date(int(m.group(3)), int(m.group(2)), int(m.group(1)))
+            if d:
+                return d
+    if "/" in s:
+        for i, m in enumerate(_RX_MDY_DATE.finditer(s)):
+            if i >= 25:
+                break  # digit-dense blobs: bound the invalid-candidate walk
+            a, b = int(m.group(1)), int(m.group(2))
+            if a > 12 and b <= 12:
+                # 14/01/2020 can only be day-first
+                a, b = b, a
+            d = _valid_date(int(m.group(3)), a, b)
+            if d:
+                return d
     if _RX_YEAR_QUICK.search(s):
-        for m in _RX_MDY_NAME.finditer(s):
-            d = _valid_date(int(m.group(3)), _MONTHS[m.group(1).lower()], int(m.group(2)))
+        low = s.lower()
+        if any(t in low for t in _MONTH_TRIGGERS):
+            for m in _RX_MDY_NAME.finditer(s):
+                d = _valid_date(int(m.group(3)), _MONTHS[m.group(1).lower()], int(m.group(2)))
+                if d:
+                    return d
+            for m in _RX_DMY_NAME.finditer(s):
+                d = _valid_date(int(m.group(3)), _MONTHS[m.group(2).lower()], int(m.group(1)))
+                if d:
+                    return d
+    if "年" in s:
+        for m in _RX_CJK_DATE.finditer(s):
+            d = _valid_date(int(m.group(1)), int(m.group(2)), int(m.group(3)))
             if d:
                 return d
-        for m in _RX_DMY_NAME.finditer(s):
-            d = _valid_date(int(m.group(3)), _MONTHS[m.group(2).lower()], int(m.group(1)))
+    if has_dot:
+        for m in _RX_DMY2_DATE.finditer(s):
+            d = _valid_date(2000 + int(m.group(3)), int(m.group(2)), int(m.group(1)))
             if d:
                 return d
-    for m in _RX_CJK_DATE.finditer(s):
-        d = _valid_date(int(m.group(1)), int(m.group(2)), int(m.group(3)))
-        if d:
-            return d
-    for m in _RX_DMY2_DATE.finditer(s):
-        d = _valid_date(2000 + int(m.group(3)), int(m.group(2)), int(m.group(1)))
-        if d:
-            return d
     return ""
 
 
