@@ -344,7 +344,10 @@ def image_features(df: DataFrame, backend: DecodeBackend | None = None) -> DataF
             for media_id, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
                 if kind != "image" or payload is None:
                     continue
-                w, h, plane = backend.decode_image(bytes(payload))
+                try:
+                    w, h, plane = backend.decode_image(bytes(payload))
+                except Exception:
+                    continue  # corrupt payload must never kill the batch
                 pooled = _avg_pool(plane, w, h, 8, 8)
                 mean = sum(pooled) / len(pooled)
                 bits = "".join("1" if p > mean else "0" for p in pooled)
@@ -371,7 +374,10 @@ def resize_images(df: DataFrame, out_w: int, out_h: int,
             for media_id, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
                 if kind != "image" or payload is None:
                     continue
-                w, h, plane = backend.decode_image(bytes(payload))
+                try:
+                    w, h, plane = backend.decode_image(bytes(payload))
+                except Exception:
+                    continue  # corrupt payload must never kill the batch
                 rows.append({
                     "media_id": media_id,
                     "embedding": [float(x) for x in _avg_pool(plane, w, h, out_w, out_h)],
@@ -405,7 +411,10 @@ def audio_features(df: DataFrame, backend: DecodeBackend | None = None) -> DataF
             for media_id, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
                 if kind != "audio" or payload is None:
                     continue
-                rate, samples = backend.decode_audio(bytes(payload))
+                try:
+                    rate, samples = backend.decode_audio(bytes(payload))
+                except Exception:
+                    continue  # corrupt payload must never kill the batch
                 rms = math.sqrt(sum(s * s for s in samples) / len(samples)) if samples else 0.0
                 peak = max((abs(s) for s in samples), default=0.0)
                 rows.append({
@@ -510,7 +519,11 @@ def sample_video_frames(df: DataFrame, n_frames: int = 3,
             for media_id, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
                 if kind != "video" or payload is None:
                     continue
-                for idx, frame in enumerate(backend.sample_frames(bytes(payload), n_frames)):
+                try:
+                    frames = backend.sample_frames(bytes(payload), n_frames)
+                except Exception:
+                    continue  # corrupt payload must never kill the batch
+                for idx, frame in enumerate(frames):
                     rows.append({
                         "media_id": media_id,
                         "frame_idx": idx,

@@ -102,3 +102,13 @@ def test_pillow_backend_parity():
     sw, sh, splane = PngDecodeBackend().decode_image(png)
     assert (w, h) == (sw, sh) == (4, 3)
     assert plane == pytest.approx(splane)
+
+
+def test_corrupt_payload_skipped_not_fatal():
+    """A corrupt image among good ones must be skipped by the Spark
+    stages, never kill the batch (added after round-4 review)."""
+    from go_trafilatura_spark.multimodal import PngDecodeBackend
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        PngDecodeBackend().decode_image(b"\x89PNG\r\n\x1a\nGARBAGE")

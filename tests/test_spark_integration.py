@@ -830,3 +830,22 @@ def test_textops_survive_adversarial_inputs(spark):
         textops.gopher_quality_filter,
     ):
         fn(df).count()  # must not raise
+
+
+def test_multimodal_corrupt_rows_skipped(spark):
+    """Real-codec decode failures drop the row, not the job."""
+    from go_trafilatura_spark.multimodal import (
+        MEDIA_SCHEMA, PngDecodeBackend, encode_png, image_features,
+    )
+
+    rows = [
+        ("good", "image", "image/png", encode_png(2, 2, 1, bytes(4)),
+         None, None, None),
+        ("bad", "image", "image/png", b"not a png", None, None, None),
+        ("trunc", "image", "image/png",
+         encode_png(4, 4, 1, bytes(16))[:20], None, None, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"] for r in
+           image_features(media, backend=PngDecodeBackend()).collect()}
+    assert got == {"good"}
