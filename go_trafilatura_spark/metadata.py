@@ -1159,6 +1159,13 @@ _RX_DATE_CLASS = stdlib_re.compile(
 def _scan_all_dates(text: str) -> list[str]:
     """All plausible dates in a text blob (document order)."""
     out = []
+    # C-substring gates (same exactness argument as _parse_date_string:
+    # a pattern match must contain the literal) — the extensive
+    # frequency scan runs seven regexes over up-to-400 KB blobs.
+    has_dash = "-" in text
+    has_dot = "." in text
+    low = text.lower()
+    has_month = any(t in low for t in _MONTH_TRIGGERS)
     for rx, order in (
         (_RX_ISO_DATE, (1, 2, 3)),
         (_RX_DMY_DATE, (3, 2, 1)),
@@ -1168,6 +1175,16 @@ def _scan_all_dates(text: str) -> list[str]:
         (_RX_CJK_DATE, (1, 2, 3)),
         (_RX_COMPACT_DATE, (1, 2, 3)),
     ):
+        if rx is _RX_ISO_DATE and not has_dash:
+            continue
+        if rx is _RX_DMY_DATE and not has_dot:
+            continue
+        if (rx is _RX_MDY_NAME or rx is _RX_DMY_NAME) and not has_month:
+            continue
+        if rx is _RX_MDY_DATE and "/" not in text:
+            continue
+        if rx is _RX_CJK_DATE and "年" not in text:
+            continue
         for m in rx.finditer(text):
             if rx is _RX_MDY_NAME:
                 d = _valid_date(int(m.group(3)), _MONTHS[m.group(1).lower()], int(m.group(2)))
