@@ -849,3 +849,60 @@ def test_multimodal_corrupt_rows_skipped(spark):
     got = {r["media_id"] for r in
            image_features(media, backend=PngDecodeBackend()).collect()}
     assert got == {"good"}
+
+
+def test_decontaminate_matches_python_reference(spark):
+    """Differential: the Spark op equals a brute-force pure-Python
+    reference (distinct n-gram sets, exact overlap counts) on a
+    deterministic pseudo-random corpus."""
+    import hashlib
+
+    from go_trafilatura_spark import textops
+
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta",
+             "theta", "iota", "kappa"]
+
+    def text_for(i):
+        # deterministic pseudo-random token sequence per doc
+        h = hashlib.sha256(f"doc{i}".encode()).digest()
+        return " ".join(vocab[b % len(vocab)] for b in h[:24])
+
+    rows = [(i, text_for(i)) for i in range(60)]
+    bench_rows = [(1000 + i, text_for(i * 7)) for i in range(5)]
+    n = 5
+
+    def grams(text):
+        toks = text.split()
+        return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+
+    bench_grams = set().union(*(grams(t) for _, t in bench_rows))
+    expect = {}
+    for i, t in rows:
+        g = grams(t)
+        expect[i] = (len(g), len(g & bench_grams))
+
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bench = spark.createDataFrame(bench_rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_grams"], r["n_contaminated"])
+           for r in textops.decontaminate(docs, bench, n_gram=n).collect()}
+    assert got == expect
+
+
+def test_stratified_sample_matches_python_reference(spark):
+    """Differential: bucket assignment equals the portable md5-bigint
+    arithmetic computed in pure Python."""
+    import hashlib
+
+    from go_trafilatura_spark import textops
+
+    rows = [(i, "t", ["en", "de", "fr"][i % 3]) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    def bucket(lang, doc_id):
+        s = f"s0|{lang}|{doc_id}"
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % 10000
+
+    expect = {i for i, _, lang in rows if bucket(lang, i) < 2500}
+    got = {r["doc_id"]
+           for r in textops.stratified_sample(df, "lang", 0.25).collect()}
+    assert got == expect
