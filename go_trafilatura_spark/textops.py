@@ -678,7 +678,7 @@ def gopher_quality_filter(df: DataFrame) -> DataFrame:
 # -- benchmark decontamination ----------------------------------------------
 
 def decontaminate(df: DataFrame, benchmark_df: DataFrame,
-                  n_gram: int = 13) -> DataFrame:
+                  n_gram: int = 13, broadcast: bool = True) -> DataFrame:
     """Training-data decontamination: per document, how many of its
     distinct token n-grams collide with any n-gram of a benchmark/eval
     set (the standard 13-gram overlap check used when scrubbing eval
@@ -703,7 +703,11 @@ def decontaminate(df: DataFrame, benchmark_df: DataFrame,
 
     bench = grams(benchmark_df, n_gram).select("h").distinct()
     corpus = grams(df, n_gram)
-    hits = (corpus.join(F.broadcast(bench), "h", "left_semi")
+    # broadcast=False: corpus-vs-corpus decontamination where the
+    # "benchmark" side is itself large — plain equi-join (one shuffle
+    # on the uniform gram hash) instead of a broadcast that won't fit.
+    bench_side = F.broadcast(bench) if broadcast else bench
+    hits = (corpus.join(bench_side, "h", "left_semi")
             .groupBy("doc_id").agg(F.count("*").alias("n_contaminated")))
     totals = corpus.groupBy("doc_id").agg(F.count("*").alias("n_grams"))
     return (totals.join(hits, "doc_id", "left")

@@ -906,3 +906,19 @@ def test_stratified_sample_matches_python_reference(spark):
     got = {r["doc_id"]
            for r in textops.stratified_sample(df, "lang", 0.25).collect()}
     assert got == expect
+
+
+def test_decontaminate_no_broadcast_same_result(spark):
+    """broadcast=False (corpus-vs-corpus scale path) must produce the
+    identical result through the shuffle join."""
+    from go_trafilatura_spark import textops
+
+    rows = [(1, "the quick brown fox jumps over the lazy dog tonight ok"),
+            (2, "entirely different words in this particular document here")]
+    bench = [(9, "quick brown fox jumps over the lazy dog")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    bdf = spark.createDataFrame(bench, "doc_id long, text string")
+    a = sorted(map(tuple, textops.decontaminate(docs, bdf, n_gram=4).collect()))
+    b = sorted(map(tuple, textops.decontaminate(
+        docs, bdf, n_gram=4, broadcast=False).collect()))
+    assert a == b
