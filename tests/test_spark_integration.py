@@ -922,3 +922,38 @@ def test_decontaminate_no_broadcast_same_result(spark):
     b = sorted(map(tuple, textops.decontaminate(
         docs, bdf, n_gram=4, broadcast=False).collect()))
     assert a == b
+
+
+def test_warc_source_end_to_end(spark):
+    """WARC file → read_warc_pages → extract_pages: the bytes→table
+    edge for the standard crawl container format."""
+    from go_trafilatura_spark.warc import build_warc, read_warc_pages
+
+    body = ("<html><head><title>W</title></head><body><article><p>"
+            + "warc sourced content long enough for the gates here. " * 5
+            + "</p></article></body></html>").encode()
+    records = [
+        (f"https://warc.example/{i}", f"2024-03-0{i+1}T00:00:00Z", body)
+        for i in range(3)
+    ]
+    tmp = tempfile.mkdtemp(prefix="gts_warc_")
+    try:
+        with open(os.path.join(tmp, "shard-00000.warc.gz"), "wb") as f:
+            f.write(build_warc(records, per_record_gzip=True))
+        with open(os.path.join(tmp, "shard-00001.warc"), "wb") as f:
+            f.write(build_warc(
+                [("https://warc.example/plain", "2024-03-09T00:00:00Z", body)],
+                per_record_gzip=False))
+        pages = read_warc_pages(spark, tmp + "/*")
+        rows = pages.collect()
+        assert len(rows) == 4
+        assert all(r["warc_ts"] is not None for r in rows)
+        assert bytes(rows[0]["html"]) == body
+
+        out = extract_pages(pages, num_partitions=2).collect()
+        ok = [r for r in out if r["reject_reason"] is None]
+        assert len(ok) == 4
+        assert all("warc sourced content" in r["content_text"] for r in ok)
+        assert {r["title"] for r in ok} == {"W"}
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
