@@ -218,6 +218,40 @@ def q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang", F.col("bucket").cast("bigint").alias("bucket"))
 
 
+def q_warc_extract(spark, sf_dir):
+    """WARC-source correctness: the first 200 documents are serialized
+    as per-record-gzip WARC shards with the writer twin (bounded
+    driver-side fixture construction — 200 rows by design), read back
+    through read_warc_pages (binaryFile + mapInPandas) and extracted;
+    the oracle predicts the result straight from the documents table,
+    so the hash row attests the whole bytes→table→extraction edge."""
+    import tempfile
+
+    from go_trafilatura_spark.warc import build_warc, read_warc_pages
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    rows = (docs.where(F.length(F.trim("text")) > 0)
+            .orderBy("doc_id").limit(200)
+            .select("doc_id", "text").collect())
+    records = []
+    for r in rows:
+        html = (f'<html><head><title>Doc {r["doc_id"]}</title></head><body>'
+                f'<article class="post-content"><h1>Doc {r["doc_id"]}</h1>'
+                f'<p>{r["text"]}</p></article></body></html>').encode()
+        records.append((f'https://warc.local/{r["doc_id"]}',
+                        "2024-01-01T00:00:00Z", html))
+    tmp = tempfile.mkdtemp(prefix="gts_warc_q_")
+    half = len(records) // 2
+    with open(os.path.join(tmp, "part-0.warc.gz"), "wb") as f:
+        f.write(build_warc(records[:half], per_record_gzip=True))
+    with open(os.path.join(tmp, "part-1.warc"), "wb") as f:
+        f.write(build_warc(records[half:], per_record_gzip=False))
+    pages = read_warc_pages(spark, tmp)
+    out = extract_pages(pages, options=_SYNTH_OPTS, num_partitions=4)
+    return out.where(F.col("reject_reason").isNull()).select(
+        "url", "content_text", "title")
+
+
 def q_ann_bruteforce(spark, sf_dir):
     return textops.ann_bruteforce_topk(_emb(spark, sf_dir), query_vec_id=0, k=10)
 
@@ -426,6 +460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
+        "warc_extract": q_warc_extract,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
         "embedding_neardup": q_embedding_neardup,
@@ -876,6 +911,12 @@ SELECT doc_id, lang,
        ('0x' || substr(md5('s0|' || lang || '|' || doc_id::VARCHAR), 1, 15))::BIGINT % 10000 AS bucket
 FROM documents
 WHERE ('0x' || substr(md5('s0|' || lang || '|' || doc_id::VARCHAR), 1, 15))::BIGINT % 10000 < 2500""",
+        "warc_extract": """
+SELECT 'https://warc.local/' || doc_id AS url,
+       'Doc ' || doc_id || ' ' || regexp_replace(trim(text), '\\s+', ' ', 'g') AS content_text,
+       'Doc ' || doc_id AS title
+FROM (SELECT doc_id, text FROM documents
+      WHERE length(trim(text)) > 0 ORDER BY doc_id LIMIT 200)""",
         "ann_bruteforce": """
 SELECT e.vec_id,
        round(list_cosine_similarity(e.embedding, q.embedding), 4) AS cosine

@@ -944,7 +944,7 @@ def test_warc_source_end_to_end(spark):
             f.write(build_warc(
                 [("https://warc.example/plain", "2024-03-09T00:00:00Z", body)],
                 per_record_gzip=False))
-        pages = read_warc_pages(spark, tmp + "/*")
+        pages = read_warc_pages(spark, tmp)
         rows = pages.collect()
         assert len(rows) == 4
         assert all(r["warc_ts"] is not None for r in rows)
