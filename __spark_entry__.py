@@ -25,7 +25,55 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from go_trafilatura_spark import textops
 from go_trafilatura_spark.kernel import KernelOptions, OUTPUT_SCHEMA, make_kernel
 from go_trafilatura_spark.pipeline import extract_pages
-from go_trafilatura_spark.textops import LANG_STOPWORDS, MINHASH_PERMS, MINHASH_PRIME, SIMHASH_BITS
+from go_trafilatura_spark.textops import (
+    LANG_STOPWORDS, MINHASH_PERMS, MINHASH_PRIME, SIMHASH_BITS,
+    PII_EMAIL, PII_IPV4, PII_PHONE,
+)
+
+# The PII patterns are written to the Java-regex ∩ RE2 common subset, so
+# the same strings drive Spark's regexp_* and DuckDB's regexp_* oracles.
+PII_EMAIL_SQL, PII_IPV4_SQL, PII_PHONE_SQL = PII_EMAIL, PII_IPV4, PII_PHONE
+
+# DuckDB twin of _pii_raw_col() — must stay expression-for-expression
+# identical (the hash row compares the scrubbed text byte-for-byte).
+_PII_RAW_SQL = (
+    "text || ' Contact user' || doc_id::VARCHAR || '@mail.example.com' || "
+    "CASE WHEN doc_id % 3 = 0 THEN ' cc admin' || doc_id::VARCHAR || '@example.org' ELSE '' END || "
+    "' from 10.' || (doc_id % 200)::VARCHAR || '.0.' || (doc_id % 250)::VARCHAR || "
+    "' or call +1415555' || lpad((doc_id % 10000)::VARCHAR, 4, '0')"
+)
+
+# DuckDB twin of _url_raw_col() + textops.url_normalize: produces
+# (doc_id, url_norm). DuckDB backreferences are \1 where Spark uses $1;
+# semantics identical.
+_URL_RAW_SQL = (
+    "'HTTP://WWW.Site' || (doc_id % 40)::VARCHAR || '.Example.COM:80/p/' || "
+    "(doc_id % 25)::VARCHAR || '?id=' || (doc_id % 10)::VARCHAR || "
+    "'&utm_source=feed&ref=rss&x=1#sec' || doc_id::VARCHAR"
+)
+_URL_NORM_SQL = f"""
+SELECT doc_id,
+       pfx2 || path || CASE WHEN q2 = '' THEN '' ELSE '?' || q2 END AS url_norm
+FROM (
+  SELECT doc_id,
+    regexp_replace(
+      regexp_replace(lower(pfx), '^(http://[^:/]*):80$', '\\1'),
+      '^(https://[^:/]*):443$', '\\1') AS pfx2,
+    regexp_replace(rest, '\\?.*$', '') AS path,
+    array_to_string(
+      list_filter(
+        string_split(regexp_extract(rest, '\\?(.*)$', 1), '&'),
+        x -> NOT regexp_matches(x, '^(utm_[A-Za-z]+|fbclid|gclid|mc_cid|mc_eid|ref)=')),
+      '&') AS q2
+  FROM (
+    SELECT doc_id, pfx, substr(u0, length(pfx) + 1) AS rest
+    FROM (
+      SELECT doc_id, regexp_extract(u0, '^[^/]*//[^/]*') AS pfx, u0
+      FROM (SELECT doc_id, regexp_replace({_URL_RAW_SQL}, '#.*$', '') AS u0
+            FROM documents)
+    )
+  )
+)"""
 
 FIXTURE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "fixtures", "correctness")
 GOLDEN_PARQUET = os.path.join(FIXTURE_DIR, "golden.parquet")
@@ -216,6 +264,85 @@ def q_stratified_sample(spark, sf_dir):
     return textops.stratified_sample(
         _docs(spark, sf_dir), strata_col="lang", fraction=0.25
     ).select("doc_id", "lang", F.col("bucket").cast("bigint").alias("bucket"))
+
+
+def q_line_dedup(spark, sf_dir):
+    """CCNet-style boilerplate line removal over the REAL extracted
+    text of the 800-page fixture corpus: lines appearing in >= 2
+    distinct pages are corpus boilerplate and are dropped; documents
+    are rebuilt from the survivors in original order. The frequent-line
+    set is broadcast (Zipf-tiny), so the removal pass never shuffles
+    the corpus body."""
+    _ensure_fixtures()
+    golden = spark.read.parquet(GOLDEN_PARQUET).select("url", "content_text")
+    return textops.line_dedup(
+        golden, text_col="content_text", id_col="url", min_docs=2
+    ).select(
+        "url",
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        F.col("n_lines_kept").cast("bigint").alias("n_lines_kept"),
+        F.col("n_lines_removed").cast("bigint").alias("n_lines_removed"),
+        "text_deduped",
+    )
+
+
+def _pii_raw_col():
+    """Deterministic PII-laced text synthesized from the documents
+    table — identical expression in the DuckDB oracle (_PII_RAW_SQL)."""
+    return F.concat(
+        F.col("text"),
+        F.lit(" Contact user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.concat(F.lit(" cc admin"), F.col("doc_id").cast("string"),
+                        F.lit("@example.org"))).otherwise(F.lit("")),
+        F.lit(" from 10."), (F.col("doc_id") % 200).cast("string"),
+        F.lit(".0."), (F.col("doc_id") % 250).cast("string"),
+        F.lit(" or call +1415555"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+
+
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction (emails / IPv4 / intl phone numbers) with per-
+    category counts, over deterministically PII-laced document text.
+    Pure projection — three regexp_replace + three regexp_count, no
+    shuffle."""
+    docs = _docs(spark, sf_dir).withColumn("pii_text", _pii_raw_col())
+    return textops.pii_scrub(docs, text_col="pii_text")
+
+
+def _url_raw_col():
+    """Deterministic messy URL synthesized from doc_id: uppercase
+    scheme/host, default port, tracking params, fragment. Mirrored in
+    the oracle as _URL_RAW_SQL; doc_id mod-periods (40/25/10, lcm 200)
+    make distinct raw URLs collide after normalization."""
+    return F.concat(
+        F.lit("HTTP://WWW.Site"), (F.col("doc_id") % 40).cast("string"),
+        F.lit(".Example.COM:80/p/"), (F.col("doc_id") % 25).cast("string"),
+        F.lit("?id="), (F.col("doc_id") % 10).cast("string"),
+        F.lit("&utm_source=feed&ref=rss&x=1#sec"),
+        F.col("doc_id").cast("string"),
+    )
+
+
+def q_url_normalize(spark, sf_dir):
+    """URL canonicalization: drop fragment, lowercase authority, strip
+    default port, remove tracking query params. Pure projection."""
+    docs = _docs(spark, sf_dir).withColumn("url", _url_raw_col())
+    return textops.url_normalize(docs)
+
+
+def q_url_dedup(spark, sf_dir):
+    """URL-level dedup: group documents by canonical URL, lowest
+    doc_id is the representative. One uniform groupBy on the
+    canonical-URL key."""
+    docs = _docs(spark, sf_dir).withColumn("url", _url_raw_col())
+    return textops.url_dedup(docs).select(
+        "url_norm",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("canonical_doc_id").cast("bigint").alias("canonical_doc_id"),
+    )
 
 
 def q_warc_extract(spark, sf_dir):
@@ -460,6 +587,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "decontaminate": q_decontaminate,
         "stratified_sample": q_stratified_sample,
+        "line_dedup": q_line_dedup,
+        "pii_scrub": q_pii_scrub,
+        "url_normalize": q_url_normalize,
+        "url_dedup": q_url_dedup,
         "warc_extract": q_warc_extract,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
@@ -911,6 +1042,56 @@ SELECT doc_id, lang,
        ('0x' || substr(md5('s0|' || lang || '|' || doc_id::VARCHAR), 1, 15))::BIGINT % 10000 AS bucket
 FROM documents
 WHERE ('0x' || substr(md5('s0|' || lang || '|' || doc_id::VARCHAR), 1, 15))::BIGINT % 10000 < 2500""",
+        "line_dedup": f"""
+WITH lines AS (
+  SELECT url,
+         unnest(string_split(content_text, chr(10))) AS line,
+         generate_subscripts(string_split(content_text, chr(10)), 1) AS pos
+  FROM read_parquet('{golden}')
+),
+freq AS (
+  SELECT line FROM (
+    SELECT line, count(DISTINCT url) AS nd FROM lines GROUP BY line
+  ) WHERE nd >= 2
+),
+kept AS (
+  SELECT l.url, l.pos, l.line FROM lines l
+  WHERE l.line NOT IN (SELECT line FROM freq)
+),
+tot AS (SELECT url, count(*) AS n_lines FROM lines GROUP BY url),
+reb AS (
+  SELECT url, count(*) AS n_lines_kept,
+         string_agg(line, chr(10) ORDER BY pos) AS text_deduped
+  FROM kept GROUP BY url
+)
+SELECT t.url,
+       t.n_lines::BIGINT AS n_lines,
+       coalesce(r.n_lines_kept, 0)::BIGINT AS n_lines_kept,
+       (t.n_lines - coalesce(r.n_lines_kept, 0))::BIGINT AS n_lines_removed,
+       coalesce(r.text_deduped, '') AS text_deduped
+FROM tot t LEFT JOIN reb r USING (url)""",
+        "pii_scrub": f"""
+WITH raw AS (
+  SELECT doc_id, {_PII_RAW_SQL} AS t FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{PII_EMAIL_SQL}'))::BIGINT AS n_emails,
+       len(regexp_extract_all(t, '{PII_IPV4_SQL}'))::BIGINT AS n_ips,
+       len(regexp_extract_all(t, '{PII_PHONE_SQL}'))::BIGINT AS n_phones,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(t, '{PII_EMAIL_SQL}', '<EMAIL>', 'g'),
+           '{PII_IPV4_SQL}', '<IP>', 'g'),
+         '{PII_PHONE_SQL}', '<PHONE>', 'g') AS text_scrubbed
+FROM raw""",
+        "url_normalize": f"""
+WITH n AS ({_URL_NORM_SQL})
+SELECT doc_id, url_norm FROM n""",
+        "url_dedup": f"""
+WITH n AS ({_URL_NORM_SQL})
+SELECT url_norm, count(*)::BIGINT AS n_docs,
+       min(doc_id)::BIGINT AS canonical_doc_id
+FROM n GROUP BY url_norm""",
         "warc_extract": """
 SELECT 'https://warc.local/' || doc_id AS url,
        'Doc ' || doc_id || ' ' || regexp_replace(trim(text), '\\s+', ' ', 'g') AS content_text,

@@ -738,3 +738,155 @@ def stratified_sample(df: DataFrame, strata_col: str = "lang",
     return (df.select(id_col, strata_col, bucket.alias("bucket"))
             .where(F.col("bucket") < int(fraction * 10000))
             .select(id_col, strata_col, "bucket"))
+
+
+# -- CCNet-style line-level dedup ---------------------------------------------
+
+def line_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+               min_docs: int = 2, broadcast: bool = True) -> DataFrame:
+    """CCNet-style boilerplate line removal: a line (newline-delimited
+    paragraph of extracted text) that appears in >= ``min_docs``
+    DISTINCT documents is corpus boilerplate (cookie banners, nav
+    text, newsletter prompts) and is dropped from every document; the
+    per-document text is rebuilt from the surviving lines in original
+    order.
+
+    Scale shape (100 TB): lines shuffle once as (line_hash, doc_id)
+    pairs for the distinct-doc count — keyed on a uniform md5 hash, no
+    skew. The FREQUENT-line set (count >= min_docs) is, by Zipf's law,
+    tiny relative to the corpus (it is the repeated boilerplate, not
+    the unique prose), so it BROADCASTS and the removal pass is a
+    broadcast left-anti join — the corpus body never shuffles again.
+    The rebuild groupBy(doc_id) keys uniformly. ``broadcast=False``
+    falls back to a shuffled anti-join for a pathological corpus whose
+    frequent-line set itself is huge."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    ).withColumn("h", _md5_bigint(F.col("line")))
+    freq = (lines.select("h", id_col).distinct()
+            .groupBy("h").agg(F.count("*").alias("nd"))
+            .where(F.col("nd") >= min_docs)
+            .select("h"))
+    freq_side = F.broadcast(freq) if broadcast else freq
+    kept = lines.join(freq_side, "h", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.count("*").alias("n_lines_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("text_deduped"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count("*").alias("n_lines"))
+    return (totals.join(rebuilt, id_col, "left")
+            .select(
+                id_col,
+                "n_lines",
+                F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+                (F.col("n_lines") - F.coalesce("n_lines_kept", F.lit(0))
+                 ).alias("n_lines_removed"),
+                F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+            ))
+
+
+# -- PII scrubbing ------------------------------------------------------------
+
+# Patterns chosen for Java-regex / RE2 (DuckDB) portability: character
+# classes, bounded quantifiers, \b and non-capturing groups only.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+PII_PHONE = r"\+\d{9,15}"
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Training-data PII redaction: replace emails, IPv4 addresses and
+    international-format phone numbers with typed placeholder tokens
+    and count each category (counted per pattern on the RAW text, then
+    redacted sequentially email -> ip -> phone).
+
+    Scale shape: pure projection — three regexp_replace + three
+    regexp_count JVM expressions, whole-stage-codegen eligible, no
+    shuffle; at 100 TB this is a single scan-and-rewrite pass."""
+    raw = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(raw, PII_EMAIL, "<EMAIL>"),
+            PII_IPV4, "<IP>"),
+        PII_PHONE, "<PHONE>")
+    return df.select(
+        F.col(id_col),
+        F.regexp_count(raw, F.lit(PII_EMAIL)).cast("bigint").alias("n_emails"),
+        F.regexp_count(raw, F.lit(PII_IPV4)).cast("bigint").alias("n_ips"),
+        F.regexp_count(raw, F.lit(PII_PHONE)).cast("bigint").alias("n_phones"),
+        scrubbed.alias("text_scrubbed"),
+    )
+
+
+# -- URL canonicalization + URL-level dedup -----------------------------------
+
+_TRACKING_PARAM = r"^(utm_[A-Za-z]+|fbclid|gclid|mc_cid|mc_eid|ref)="
+
+
+def url_normalize(df: DataFrame, url_col: str = "url",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Canonical URL form: drop the fragment, lowercase
+    scheme://host[:port], strip default ports (http:80 / https:443),
+    drop tracking query parameters (utm_*, fbclid, gclid, mc_cid,
+    mc_eid, ref) preserving the order of the survivors, and drop a
+    now-empty query string. Pure projection — no shuffle; the
+    canonical form is what url_dedup groups on.
+
+    Implemented with SQL expressions shared verbatim-in-semantics with
+    the DuckDB oracle: regexp prefix split, lambda filter over query
+    parameters, conditional reassembly."""
+    df = df.withColumn("_u0", F.regexp_replace(F.col(url_col), r"#.*$", ""))
+    df = df.withColumn("_pfx", F.regexp_extract(F.col("_u0"), r"^[^/]*//[^/]*", 0))
+    df = df.withColumn("_rest", F.expr("substring(_u0, length(_pfx) + 1)"))
+    # lowercase authority, strip default ports
+    df = df.withColumn("_pfx", F.lower(F.col("_pfx")))
+    df = df.withColumn(
+        "_pfx",
+        F.regexp_replace(F.col("_pfx"), r"^(http://[^:/]*):80$", "$1"))
+    df = df.withColumn(
+        "_pfx",
+        F.regexp_replace(F.col("_pfx"), r"^(https://[^:/]*):443$", "$1"))
+    # split path?query, filter tracking params, reassemble
+    df = df.withColumn("_path", F.regexp_replace(F.col("_rest"), r"\?.*$", ""))
+    df = df.withColumn("_q", F.regexp_extract(F.col("_rest"), r"\?(.*)$", 1))
+    df = df.withColumn(
+        "_q2",
+        F.array_join(
+            F.filter(
+                F.split(F.col("_q"), "&"),
+                lambda x: ~x.rlike(_TRACKING_PARAM),
+            ),
+            "&",
+        ),
+    )
+    norm = F.concat(
+        F.col("_pfx"), F.col("_path"),
+        F.when(F.col("_q2") == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), F.col("_q2"))),
+    )
+    return df.select(F.col(id_col), norm.alias("url_norm"))
+
+
+def url_dedup(df: DataFrame, url_col: str = "url",
+              id_col: str = "doc_id") -> DataFrame:
+    """URL-level dedup over canonical forms: group documents by
+    normalized URL, keep the lowest doc id as the canonical
+    representative (deterministic; in a crawl pipeline the tie-break
+    would be warc_ts DESC — same plan shape).
+
+    Scale shape: one groupBy keyed on the canonical-URL hash —
+    uniform (hosts may be Zipf but full URLs are near-unique; the
+    residual hot key is the duplicate cluster itself, which is the
+    quantity being measured and is bounded by crawl frequency)."""
+    return (url_normalize(df, url_col, id_col)
+            .groupBy("url_norm")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min(id_col).alias("canonical_doc_id")))

@@ -957,3 +957,121 @@ def test_warc_source_end_to_end(spark):
         assert {r["title"] for r in ok} == {"W"}
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_line_dedup_matches_python_reference(spark):
+    """Differential: CCNet-style frequent-line removal equals a pure-
+    Python reference (distinct-doc line counts, order-preserving
+    rebuild) on a corpus with shared boilerplate lines."""
+    from go_trafilatura_spark import textops
+
+    boiler = ["Subscribe to our newsletter", "Cookie policy", ""]
+    rows = []
+    for i in range(30):
+        lines = [f"unique paragraph {i} alpha", boiler[i % 3],
+                 f"unique paragraph {i} beta"]
+        if i % 4 == 0:
+            lines.append(boiler[(i + 1) % 3])
+        rows.append((i, "\n".join(lines)))
+
+    # pure-Python reference
+    from collections import defaultdict
+    docs_per_line = defaultdict(set)
+    for i, t in rows:
+        for ln in t.split("\n"):
+            docs_per_line[ln].add(i)
+    frequent = {ln for ln, d in docs_per_line.items() if len(d) >= 2}
+    expect = {}
+    for i, t in rows:
+        all_lines = t.split("\n")
+        kept = [ln for ln in all_lines if ln not in frequent]
+        expect[i] = (len(all_lines), len(kept),
+                     len(all_lines) - len(kept), "\n".join(kept))
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_lines"], r["n_lines_kept"],
+                         r["n_lines_removed"], r["text_deduped"])
+           for r in textops.line_dedup(df, min_docs=2).collect()}
+    assert got == expect
+
+    # broadcast=False (huge-frequent-set fallback) is result-identical
+    got2 = {r["doc_id"]: (r["n_lines"], r["n_lines_kept"],
+                          r["n_lines_removed"], r["text_deduped"])
+            for r in textops.line_dedup(df, min_docs=2,
+                                        broadcast=False).collect()}
+    assert got2 == expect
+
+
+def test_pii_scrub_matches_python_reference(spark):
+    """Differential: redaction and per-category counts equal Python
+    re.sub/findall with the same patterns."""
+    import re
+
+    from go_trafilatura_spark import textops
+
+    rows = [
+        (1, "mail me at john.doe+spam@sub.example.co.uk today"),
+        (2, "server 192.168.0.1 and 10.0.0.255 are up, 999.999.999.999 too"),
+        (3, "call +4915123456789 or +12025550123 now"),
+        (4, "mixed: a@b.io on 8.8.8.8 dial +331234567890"),
+        (5, "nothing sensitive here at all"),
+        (6, "not-an-ip 1.2.3 and not-a-phone +12 stay"),
+    ]
+    pats = [(textops.PII_EMAIL, "<EMAIL>"), (textops.PII_IPV4, "<IP>"),
+            (textops.PII_PHONE, "<PHONE>")]
+    expect = {}
+    for i, t in rows:
+        counts = tuple(len(re.findall(p, t)) for p, _ in pats)
+        s = t
+        for p, rep in pats:
+            s = re.sub(p, rep, s)
+        expect[i] = counts + (s,)
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_emails"], r["n_ips"], r["n_phones"],
+                         r["text_scrubbed"])
+           for r in textops.pii_scrub(df).collect()}
+    assert got == expect
+
+
+def test_url_normalize_matches_python_reference(spark):
+    """Differential: canonicalization equals a urllib-based reference
+    on messy URLs (case, default ports, tracking params, fragments)."""
+    import re as _re
+
+    from go_trafilatura_spark import textops
+
+    urls = [
+        (1, "HTTP://WWW.Example.COM:80/Path/One?id=3&utm_source=x&b=2#frag"),
+        (2, "http://www.example.com/Path/One?id=3&b=2"),
+        (3, "HTTPS://Site.ORG:443/?utm_campaign=z&fbclid=abc"),
+        (4, "https://site.org/"),
+        (5, "http://host.net:8080/keep:port?gclid=1&q=ok"),
+        (6, "http://host.net/plain"),
+        (7, "https://A.b.C/x?ref=rss&id=1&mc_cid=9&mc_eid=8"),
+    ]
+
+    def ref_norm(u):
+        u = u.split("#", 1)[0]
+        m = _re.match(r"^([^/]*//[^/]*)(.*)$", u)
+        pfx, rest = m.group(1).lower(), m.group(2)
+        pfx = _re.sub(r"^(http://[^:/]*):80$", r"\1", pfx)
+        pfx = _re.sub(r"^(https://[^:/]*):443$", r"\1", pfx)
+        path, _, q = rest.partition("?")
+        keep = [p for p in q.split("&")
+                if not _re.match(r"^(utm_[A-Za-z]+|fbclid|gclid|mc_cid|mc_eid|ref)=", p)]
+        q2 = "&".join(keep)
+        return pfx + path + (("?" + q2) if q2 else "")
+
+    expect = {i: ref_norm(u) for i, u in urls}
+    df = spark.createDataFrame(urls, "doc_id long, url string")
+    got = {r["doc_id"]: r["url_norm"]
+           for r in textops.url_normalize(df).collect()}
+    assert got == expect
+
+    # url_dedup groups 1+2 and 3+4 together
+    groups = {r["url_norm"]: (r["n_docs"], r["canonical_doc_id"])
+              for r in textops.url_dedup(df).collect()}
+    assert groups[expect[1]] == (2, 1)
+    assert groups[expect[3]] == (2, 3)
+    assert groups[expect[5]] == (1, 5)
