@@ -254,6 +254,46 @@ def collect_by_tags(root: Element, tags) -> dict:
     return out
 
 
+def has_any_tag(root: Element, tagset) -> bool:
+    """True if any DESCENDANT's tag is in tagset — the early-exit form
+    of ``bool(get_elements_by_tag(...))`` presence checks."""
+    stack = root.children[::-1]
+    pop = stack.pop
+    while stack:
+        node = pop()
+        if node.tag in tagset:
+            return True
+        kids = node.children
+        if kids:
+            stack.extend(kids[::-1])
+    return False
+
+
+def has_nonspace_text(el: Element) -> bool:
+    """True iff trim(text_content(el)) is non-empty, without building
+    the string: early-exits on the first non-whitespace character.
+    Same accounting as text_content (comment text skipped, every
+    child's tail counted)."""
+    t = el.text
+    if el.tag != COMMENT and t and not t.isspace():
+        return True
+    stack = el.children[::-1]
+    pop = stack.pop
+    while stack:
+        node = pop()
+        t = node.tail
+        if t and not t.isspace():
+            return True
+        if node.tag != COMMENT:
+            t = node.text
+            if t and not t.isspace():
+                return True
+            kids = node.children
+            if kids:
+                stack.extend(kids[::-1])
+    return False
+
+
 def iter_descendants(root: Element, *tags: str) -> list[Element]:
     """etree.IterDescendants — like iter_all but excludes self.
     Reference: internal/etree/element.go:80-92."""
@@ -300,9 +340,32 @@ def set_tail(el: Element, tail: str) -> None:
 
 def text_content(el: Element) -> str:
     """dom.TextContent — all text in the subtree, concatenated, no
-    separators; comments skipped."""
+    separators; comments skipped (their tails still count).
+
+    Iterative: the stack holds Elements to expand and raw strings
+    (tails) to emit after their element's subtree — one loop instead of
+    one Python call per node (this is the hottest function in the
+    readability fallback's scoring phase)."""
     parts: list[str] = []
-    _collect_text(el, parts)
+    append = parts.append
+    if el.tag != COMMENT and el.text:
+        append(el.text)
+    stack: list = el.children[::-1]
+    pop = stack.pop
+    while stack:
+        node = pop()
+        if type(node) is str:
+            append(node)
+            continue
+        tail = node.tail
+        if tail:
+            stack.append(tail)
+        if node.tag != COMMENT:
+            if node.text:
+                append(node.text)
+            kids = node.children
+            if kids:
+                stack.extend(kids[::-1])
     return "".join(parts)
 
 

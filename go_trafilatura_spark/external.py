@@ -37,10 +37,17 @@ def compare_external_extraction(
     if options.focus == FAVOR_RECALL and len_extracted > options.config.min_extracted_size * 10:
         return extracted_doc, extracted_text
 
-    cleaned_doc = etree.clone(original_doc, True)
+    # The defensive clone is only needed when precision pruning will
+    # mutate it: readability_parse clones the body itself and
+    # distill() is read-only, so in balanced/recall focus the original
+    # tree can be handed over as-is (external.go:66 clones always —
+    # identical candidates either way, one full-tree copy saved).
     if options.focus == FAVOR_PRECISION:
         cleaned_doc = prune_unwanted_nodes(
-            cleaned_doc, selectors.OVERALL_DISCARDED_CONTENT, in_place=True)
+            etree.clone(original_doc, True),
+            selectors.OVERALL_DISCARDED_CONTENT, in_place=True)
+    else:
+        cleaned_doc = original_doc
 
     for candidate_doc in _candidates(cleaned_doc, options):
         if candidate_doc is None:

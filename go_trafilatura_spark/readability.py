@@ -120,6 +120,75 @@ def _link_density(el: Element) -> float:
     return link_len / text_len
 
 
+def _trimmed_lens(root: Element) -> dict:
+    """One post-order pass computing ``len(inner_text(node))`` for every
+    element under (and including) ``root`` — exact integers, so results
+    are bit-identical to the per-node computation.
+
+    trim(s) == " ".join(s.split()), whose length composes under string
+    concatenation: track (chars_in_words, word_count, first, last) per
+    fragment, where first/last ∈ {0 empty, 1 whitespace, 2 non-ws};
+    adjacent non-ws ends merge two words into one. Candidates in the
+    scoring loop are nested ancestors, so the naive per-candidate
+    re-read is O(depth × page); this pass makes it O(page)."""
+    sums: dict[int, tuple] = {}
+    out: dict[int, int] = {}
+    stack = [(root, False)]
+    push = stack.append
+    while stack:
+        node, done = stack.pop()
+        if not done:
+            push((node, True))
+            for c in node.children:
+                push((c, False))
+            continue
+        nch = nw = first = last = 0
+        if node.tag != etree.COMMENT:
+            pieces = [node.text] if node.text else []
+            for c in node.children:
+                pieces.append(c)
+                if c.tail:
+                    pieces.append(c.tail)
+        else:
+            pieces = []
+        for piece in pieces:
+            if type(piece) is str:
+                w = piece.split()
+                pn = len(w)
+                pch = sum(map(len, w))
+                pf = 2 if not piece[0].isspace() else 1
+                pl = 2 if not piece[-1].isspace() else 1
+            else:
+                pch, pn, pf, pl = sums[id(piece)]
+                if pf == 0:
+                    continue
+            if last == 2 and pf == 2:
+                nw -= 1
+            nch += pch
+            nw += pn
+            if first == 0:
+                first = pf
+            last = pl if pl != 0 else last
+        sums[id(node)] = (nch, nw, first, last)
+        out[id(node)] = nch + (nw - 1 if nw > 1 else 0)
+    return out
+
+
+def _link_density_cached(el: Element, tl: dict) -> float:
+    """_link_density with all inner_text lengths taken from a
+    _trimmed_lens table — same iteration order, same float operations,
+    bit-identical result."""
+    text_len = tl[id(el)]
+    if text_len == 0:
+        return 0.0
+    link_len = 0.0
+    for a in etree.get_elements_by_tag(el, "a"):
+        href = a.get("href")
+        coeff = PRESERVE_LINK_DENSITY_COEFF if RX_HASH_URL.match(href) else 1.0
+        link_len += tl[id(a)] * coeff
+    return link_len / text_len
+
+
 def _is_phrasing(el: Element) -> bool:
     """isPhrasingContent for element nodes (text handled by callers)."""
     if el.tag in PHRASING_ELEMS:
@@ -137,7 +206,7 @@ def _has_stray_text(el: Element) -> bool:
 
 
 def _is_element_without_content(el: Element) -> bool:
-    if etree.text_content(el).strip():
+    if etree.has_nonspace_text(el):
         return False
     kids = etree.children_of(el)
     return len(kids) == 0 or all(c.tag in ("br", "hr") for c in kids)
@@ -361,9 +430,14 @@ class _Grab:
         # score REPLACES the candidate's content score (readability.js
         # does the same, and the sibling threshold reads the new value)
         top_candidates: list[Element] = []
+        # No mutation happens between here and the top-candidate pick,
+        # so one _trimmed_lens pass serves every candidate's density
+        # (candidates are nested ancestors — per-candidate re-reads
+        # would touch the page text once per ancestry level).
+        tl = _trimmed_lens(page) if self.scores else None
         for key in list(self.scores):
             cand = self.by_id[key]
-            adjusted = self.scores[key] * (1.0 - _link_density(cand))
+            adjusted = self.scores[key] * (1.0 - _link_density_cached(cand, tl))
             self.scores[key] = adjusted
             for i, tc in enumerate(top_candidates):
                 if adjusted > self.scores[id(tc)]:
@@ -657,14 +731,12 @@ def _clean_matched(root: Element, pred) -> None:
             node = _get_next_node(node)
 
 
-def _get_text_density(el: Element, tags: tuple) -> float:
-    text_len = len(inner_text(el))
-    if text_len == 0:
-        return 0.0
-    child_len = sum(
-        len(inner_text(n)) for t in tags for n in etree.get_elements_by_tag(el, t)
-    )
-    return child_len / text_len
+# Tags the fused _clean_conditionally walk collects in one pass.
+_CC_TAGS = frozenset((
+    "p", "img", "li", "input", "h1", "h2", "h3", "h4", "h5", "h6",
+    "object", "embed", "iframe", "ul", "ol", "a",
+))
+_P_MEDIA_TAGS = frozenset(("img", "embed", "object", "iframe"))
 
 
 def _clean_conditionally(grab: _Grab, article: Element, tag: str,
@@ -688,17 +760,27 @@ def _clean_conditionally(grab: _Grab, article: Element, tag: str,
         text = inner_text(node)
         if len(RX_COMMAS.findall(text)) >= 10:
             continue
-        p = len(etree.get_elements_by_tag(node, "p"))
-        img = len(etree.get_elements_by_tag(node, "img"))
-        li = len(etree.get_elements_by_tag(node, "li")) - 100
-        inputs = len(etree.get_elements_by_tag(node, "input"))
-        heading_density = _get_text_density(
-            node, ("h1", "h2", "h3", "h4", "h5", "h6")
-        )
+        # One fused subtree walk replaces the 10+ per-tag walks of the
+        # literal readability.js sequence — counts and densities are
+        # order-independent, so the grouped collection is equivalent.
+        by = etree.collect_by_tags(node, _CC_TAGS)
+        p = len(by["p"])
+        img = len(by["img"])
+        li = len(by["li"]) - 100
+        inputs = len(by["input"])
+        clen = len(text)
+        if clen == 0:
+            heading_density = 0.0
+        else:
+            heading_density = sum(
+                len(inner_text(h))
+                for t in ("h1", "h2", "h3", "h4", "h5", "h6")
+                for h in by[t]
+            ) / clen
         embed_count = 0
         keep_for_video = False
         for et in ("object", "embed", "iframe"):
-            for emb in etree.get_elements_by_tag(node, et):
+            for emb in by[et]:
                 if _is_allowed_video(emb):
                     keep_for_video = True
                     break
@@ -707,14 +789,21 @@ def _clean_conditionally(grab: _Grab, article: Element, tag: str,
                 break
         if keep_for_video:
             continue
-        density = _link_density(node)
-        clen = len(text)
+        # _link_density(node) inlined over the collected anchors (the
+        # denominator is the clen already computed from the same tree)
+        if clen == 0:
+            density = 0.0
+        else:
+            link_len = 0.0
+            for a in by["a"]:
+                coeff = (PRESERVE_LINK_DENSITY_COEFF
+                         if RX_HASH_URL.match(a.get("href")) else 1.0)
+                link_len += len(inner_text(a)) * coeff
+            density = link_len / clen
         is_list = tag in ("ul", "ol")
         if not is_list:
             list_len = sum(
-                len(inner_text(n))
-                for t in ("ul", "ol")
-                for n in etree.get_elements_by_tag(node, t)
+                len(inner_text(n)) for t in ("ul", "ol") for n in by[t]
             )
             if clen and list_len / clen > 0.9:
                 is_list = True
@@ -736,10 +825,8 @@ def _clean_conditionally(grab: _Grab, article: Element, tag: str,
             fancy = any(
                 len(etree.children_of(c)) > 1 for c in etree.children_of(node)
             )
-            if not fancy:
-                li_count = len(etree.get_elements_by_tag(node, "li"))
-                if img == li_count:
-                    continue
+            if not fancy and img == len(by["li"]):
+                continue
         if to_remove:
             etree.remove(node, keep_tail=True)
 
@@ -804,15 +891,13 @@ def prep_article(article: Element, grab: _Grab) -> None:
                 ) else "div"
                 _replace_node(t, cell)
 
-    # empty paragraphs
+    # empty paragraphs (early-exit presence checks — equivalent to the
+    # four per-tag collections plus the full inner_text materialization)
     for pnode in reversed(etree.get_elements_by_tag(article, "p")):
         if pnode.parent is None:
             continue
-        if (not etree.get_elements_by_tag(pnode, "img")
-                and not etree.get_elements_by_tag(pnode, "embed")
-                and not etree.get_elements_by_tag(pnode, "object")
-                and not etree.get_elements_by_tag(pnode, "iframe")
-                and not inner_text(pnode)):
+        if (not etree.has_any_tag(pnode, _P_MEDIA_TAGS)
+                and not etree.has_nonspace_text(pnode)):
             etree.remove(pnode, keep_tail=True)
 
     # <br> immediately before a <p>
@@ -928,12 +1013,16 @@ def readability_parse(doc: Element, exclude_tables: bool = False) -> Element | N
     body = etree.body_of(doc)
     if body is None:
         return None
-    base = etree.clone(body, True)
-    prep_document(base)
-    if exclude_tables:
-        # tables are sanitized out of whichever candidate wins; a
-        # table-farm page must not crowd out the prose it also carries
-        etree.strip_elements(base, False, "table")
+
+    def _fresh_base() -> Element:
+        b = etree.clone(body, True)
+        prep_document(b)
+        if exclude_tables:
+            # tables are sanitized out of whichever candidate wins; a
+            # table-farm page must not crowd out the prose it also
+            # carries
+            etree.strip_elements(b, False, "table")
+        return b
 
     best: Element | None = None
     best_len = -1
@@ -941,8 +1030,12 @@ def readability_parse(doc: Element, exclude_tables: bool = False) -> Element | N
         (True, True, True), (False, True, True),
         (False, False, True), (False, False, False),
     ):
+        # Each attempt needs a pristine prepped tree; building it fresh
+        # per attempt (clone(body) + prep) instead of cloning a kept
+        # prepped copy saves one full-tree clone on the ~80% of pages
+        # that succeed on the first attempt.
         grab = _Grab(strip_unlikely, weight_classes, clean_cond)
-        out = grab.run(etree.clone(base, True))
+        out = grab.run(_fresh_base())
         if out is None:
             continue
         out_len = len(trim(etree.text_content(out)))
