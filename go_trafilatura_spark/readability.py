@@ -94,16 +94,29 @@ def inner_text(node: Element) -> str:
 
 
 def _match_string(el: Element) -> str:
+    # Raw-substring prescreen: when the unparsed attribute text cannot
+    # contain a class or id attribute, skip the attr-dict
+    # materialization entirely (most elements' attrs are never read
+    # otherwise). Conservative — any substring hit falls through to
+    # the exact path.
+    raw = el._rawattrs
+    if raw is not None and "class" not in raw and "id" not in raw:
+        return " "
     return el.get("class") + " " + el.get("id")
 
 
 def _is_probably_visible(el: Element) -> bool:
-    style = el.get("style").lower()
-    if "display:none" in style.replace(" ", "") or "visibility:hidden" in style.replace(" ", ""):
+    attrib = el.attrib
+    if not attrib:
+        return True
+    style = attrib.get("style")
+    if style:
+        style = style.lower().replace(" ", "")
+        if "display:none" in style or "visibility:hidden" in style:
+            return False
+    if "hidden" in attrib:
         return False
-    if "hidden" in el.attrib:
-        return False
-    if el.get("aria-hidden") == "true" and "fallback-image" not in el.get("class"):
+    if attrib.get("aria-hidden") == "true" and "fallback-image" not in attrib.get("class", ""):
         return False
     return True
 
@@ -131,46 +144,54 @@ def _trimmed_lens(root: Element) -> dict:
     adjacent non-ws ends merge two words into one. Candidates in the
     scoring loop are nested ancestors, so the naive per-candidate
     re-read is O(depth × page); this pass makes it O(page)."""
+    # BFS order puts every child after its parent, so the reversed scan
+    # is a valid post-order (each node's merge only reads child sums;
+    # piece order within a node follows node.children regardless of
+    # processing order).
+    order = [root]
+    for node in order:
+        order.extend(node.children)
     sums: dict[int, tuple] = {}
     out: dict[int, int] = {}
-    stack = [(root, False)]
-    push = stack.append
-    while stack:
-        node, done = stack.pop()
-        if not done:
-            push((node, True))
-            for c in node.children:
-                push((c, False))
+    comment = etree.COMMENT
+    for node in reversed(order):
+        key = id(node)
+        if node.tag == comment:
+            sums[key] = (0, 0, 0, 0)
+            out[key] = 0
             continue
         nch = nw = first = last = 0
-        if node.tag != etree.COMMENT:
-            pieces = [node.text] if node.text else []
-            for c in node.children:
-                pieces.append(c)
-                if c.tail:
-                    pieces.append(c.tail)
-        else:
-            pieces = []
-        for piece in pieces:
-            if type(piece) is str:
-                w = piece.split()
-                pn = len(w)
-                pch = sum(map(len, w))
-                pf = 2 if not piece[0].isspace() else 1
-                pl = 2 if not piece[-1].isspace() else 1
-            else:
-                pch, pn, pf, pl = sums[id(piece)]
-                if pf == 0:
-                    continue
-            if last == 2 and pf == 2:
-                nw -= 1
-            nch += pch
-            nw += pn
-            if first == 0:
-                first = pf
-            last = pl if pl != 0 else last
-        sums[id(node)] = (nch, nw, first, last)
-        out[id(node)] = nch + (nw - 1 if nw > 1 else 0)
+        t = node.text
+        if t:
+            w = t.split()
+            nch = sum(map(len, w))
+            nw = len(w)
+            first = 2 if not t[0].isspace() else 1
+            last = 2 if not t[-1].isspace() else 1
+        for c in node.children:
+            pch, pn, pf, pl = sums[id(c)]
+            if pf:
+                if last == 2 and pf == 2:
+                    nw -= 1
+                nch += pch
+                nw += pn
+                if not first:
+                    first = pf
+                if pl:
+                    last = pl
+            t = c.tail
+            if t:
+                w = t.split()
+                pf = 2 if not t[0].isspace() else 1
+                if last == 2 and pf == 2:
+                    nw -= 1
+                nch += sum(map(len, w))
+                nw += len(w)
+                if not first:
+                    first = pf
+                last = 2 if not t[-1].isspace() else 1
+        sums[key] = (nch, nw, first, last)
+        out[key] = nch + (nw - 1 if nw > 1 else 0)
     return out
 
 
