@@ -385,6 +385,90 @@ def text_len(el: Element) -> int:
     return n
 
 
+def text_index(root: Element) -> tuple:
+    """One pass over the subtree producing (tl, enter, last, anchors,
+    apos):
+
+    - ``tl[id(node)]`` = ``len(trim(text_content(node)))`` for every
+      node, computed bottom-up with the word-merge algebra (exact
+      integers — trim(s) == " ".join(s.split()), whose length composes
+      under concatenation when tracking (chars_in_words, word_count,
+      first, last) with first/last ∈ {0 empty, 1 ws, 2 non-ws});
+    - ``enter``/``last`` = pre-order Euler intervals: descendants of a
+      node occupy (enter[node], last[node]];
+    - ``anchors``/``apos`` = doc-ordered <a> descendants of root and
+      their pre-order positions, so the anchors under any node are one
+      bisect range.
+
+    Link-density style passes call this once per stable tree window
+    instead of walking each candidate's subtree (candidates nest, so
+    per-candidate walks re-read the page once per ancestry level)."""
+    order = [root]
+    for node in order:
+        order.extend(node.children)
+    sums: dict[int, tuple] = {}
+    tl: dict[int, int] = {}
+    for node in reversed(order):
+        key = id(node)
+        if node.tag == COMMENT:
+            sums[key] = (0, 0, 0, 0)
+            tl[key] = 0
+            continue
+        nch = nw = first = last = 0
+        t = node.text
+        if t:
+            w = t.split()
+            nch = sum(map(len, w))
+            nw = len(w)
+            first = 2 if not t[0].isspace() else 1
+            last = 2 if not t[-1].isspace() else 1
+        for c in node.children:
+            pch, pn, pf, pl = sums[id(c)]
+            if pf:
+                if last == 2 and pf == 2:
+                    nw -= 1
+                nch += pch
+                nw += pn
+                if not first:
+                    first = pf
+                if pl:
+                    last = pl
+            t = c.tail
+            if t:
+                w = t.split()
+                pf = 2 if not t[0].isspace() else 1
+                if last == 2 and pf == 2:
+                    nw -= 1
+                nch += sum(map(len, w))
+                nw += len(w)
+                if not first:
+                    first = pf
+                last = 2 if not t[-1].isspace() else 1
+        sums[key] = (nch, nw, first, last)
+        tl[key] = nch + (nw - 1 if nw > 1 else 0)
+
+    enter: dict[int, int] = {}
+    lastd: dict[int, int] = {}
+    anchors: list[Element] = []
+    apos: list[int] = []
+    idx = 0
+    dfs = [root]
+    while dfs:
+        node = dfs.pop()
+        enter[id(node)] = idx
+        if node.tag == "a":
+            anchors.append(node)
+            apos.append(idx)
+        idx += 1
+        kids = node.children
+        if kids:
+            dfs.extend(kids[::-1])
+    for node in reversed(order):
+        kids = node.children
+        lastd[id(node)] = lastd[id(kids[-1])] if kids else enter[id(node)]
+    return tl, enter, lastd, anchors, apos
+
+
 def _collect_text(el: Element, parts: list[str]) -> None:
     if el.tag == COMMENT:
         return

@@ -8,6 +8,8 @@ kernel; nothing here touches the DataFrame layer.
 
 from __future__ import annotations
 
+from bisect import bisect_right
+
 from . import css, etree, selectors
 from .etree import Element
 from .options import FAVOR_PRECISION, FAVOR_RECALL
@@ -338,19 +340,80 @@ def post_cleaning(doc: Element | None) -> None:
         element.attrib = new_attrs
 
 
+def _link_density_test_indexed(elem: Element, options, index) -> tuple[bool, bool]:
+    """link_density_test over a text_index — identical decisions (all
+    quantities are the same exact integers), no per-element walks.
+    Returns (has_non_empty_links, is_high) where the first mirrors the
+    truthiness of the original's non_empty return value."""
+    tl, enter, lastd, anchors, apos = index
+    lo = bisect_right(apos, enter[id(elem)])
+    hi = bisect_right(apos, lastd[id(elem)])
+    if lo == hi:
+        return False, False
+
+    text_length = tl[id(elem)]
+
+    if hi - lo == 1:
+        threshold = 10 if options.focus == FAVOR_PRECISION else 100
+        lt_len = tl[id(anchors[lo])]
+        if lt_len > threshold and lt_len > text_length * 0.9:
+            return False, True
+
+    if elem.tag == "p":
+        limit = 60 if etree.next_element_sibling(elem) is None else 30
+    else:
+        limit = 300 if etree.next_element_sibling(elem) is None else 100
+
+    if text_length < limit:
+        link_length = 0
+        n_short = 0
+        n_non_empty = 0
+        for i in range(lo, hi):
+            alen = tl[id(anchors[i])]
+            if alen == 0:
+                continue
+            link_length += alen
+            if alen < 10:
+                n_short += 1
+            n_non_empty += 1
+        if n_non_empty == 0:
+            return False, True
+        if link_length > text_length * 0.8 or (
+            n_non_empty > 1 and n_short / n_non_empty > 0.8
+        ):
+            return True, True
+
+    return False, False
+
+
 def delete_by_link_density(subtree: Element, options, backtracking: bool, *tags: str) -> None:
-    """html-processing.go:452-479."""
+    """html-processing.go:452-479. The tree is stable while candidates
+    are collected (removals happen at the end), so one text_index pass
+    serves every element's density test."""
     to_delete: list[Element] = []
     threshold, n_child_limit = (200, 1) if options.focus == FAVOR_PRECISION else (100, 3)
 
-    for elem in etree.iter_all(subtree, *tags):
-        non_empty, is_high = link_density_test(elem, options)
+    elems = etree.iter_all(subtree, *tags)
+    if not elems:
+        return
+    # The one-pass index costs O(subtree); per-element walks cost
+    # O(Σ element subtrees). Few candidates → walks win; many (nested
+    # list/div farms, where the naive cost is quadratic) → index wins.
+    index = etree.text_index(subtree) if len(elems) > 25 else None
+    for elem in elems:
+        if index is not None:
+            non_empty, is_high = _link_density_test_indexed(elem, options, index)
+        else:
+            non_empty, is_high = link_density_test(elem, options)
         if is_high:
             to_delete.append(elem)
         elif backtracking and non_empty:
+            # Unreachable by construction (non_empty is only ever truthy
+            # together with is_high) — kept to mirror the reference's
+            # deleteByLinkDensity, which has the same dead branch.
             text = trim(etree.text_content(elem))
-            tl = len(text)
-            if 0 < tl < threshold and len(etree.children_of(elem)) >= n_child_limit:
+            text_len = len(text)
+            if 0 < text_len < threshold and len(etree.children_of(elem)) >= n_child_limit:
                 to_delete.append(elem)
 
     for elem in reversed(to_delete):

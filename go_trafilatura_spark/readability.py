@@ -31,6 +31,7 @@ because the candidate pipeline does not carry the page title.
 from __future__ import annotations
 
 import re
+from bisect import bisect_right
 
 from . import etree
 from .etree import Element
@@ -133,80 +134,36 @@ def _link_density(el: Element) -> float:
     return link_len / text_len
 
 
-def _trimmed_lens(root: Element) -> dict:
-    """One post-order pass computing ``len(inner_text(node))`` for every
-    element under (and including) ``root`` — exact integers, so results
-    are bit-identical to the per-node computation.
-
-    trim(s) == " ".join(s.split()), whose length composes under string
-    concatenation: track (chars_in_words, word_count, first, last) per
-    fragment, where first/last ∈ {0 empty, 1 whitespace, 2 non-ws};
-    adjacent non-ws ends merge two words into one. Candidates in the
-    scoring loop are nested ancestors, so the naive per-candidate
-    re-read is O(depth × page); this pass makes it O(page)."""
-    # BFS order puts every child after its parent, so the reversed scan
-    # is a valid post-order (each node's merge only reads child sums;
-    # piece order within a node follows node.children regardless of
-    # processing order).
-    order = [root]
-    for node in order:
-        order.extend(node.children)
-    sums: dict[int, tuple] = {}
-    out: dict[int, int] = {}
-    comment = etree.COMMENT
-    for node in reversed(order):
-        key = id(node)
-        if node.tag == comment:
-            sums[key] = (0, 0, 0, 0)
-            out[key] = 0
-            continue
-        nch = nw = first = last = 0
-        t = node.text
-        if t:
-            w = t.split()
-            nch = sum(map(len, w))
-            nw = len(w)
-            first = 2 if not t[0].isspace() else 1
-            last = 2 if not t[-1].isspace() else 1
-        for c in node.children:
-            pch, pn, pf, pl = sums[id(c)]
-            if pf:
-                if last == 2 and pf == 2:
-                    nw -= 1
-                nch += pch
-                nw += pn
-                if not first:
-                    first = pf
-                if pl:
-                    last = pl
-            t = c.tail
-            if t:
-                w = t.split()
-                pf = 2 if not t[0].isspace() else 1
-                if last == 2 and pf == 2:
-                    nw -= 1
-                nch += sum(map(len, w))
-                nw += len(w)
-                if not first:
-                    first = pf
-                last = 2 if not t[-1].isspace() else 1
-        sums[key] = (nch, nw, first, last)
-        out[key] = nch + (nw - 1 if nw > 1 else 0)
-    return out
+def _trimmed_lens(root: Element) -> tuple:
+    """etree.text_index plus per-anchor weighted trimmed lengths (the
+    hash-URL coefficient applied once per anchor). The candidate loop's
+    density sum then runs over the same values in the same doc order as
+    the naive per-candidate walk, keeping float results bit-identical,
+    while each candidate's anchors are one bisect range (candidates are
+    nested ancestors — per-candidate walks re-read the page once per
+    ancestry level)."""
+    tl, enter, lastd, anchors, apos = etree.text_index(root)
+    awlen = [
+        tl[id(a)] * (PRESERVE_LINK_DENSITY_COEFF
+                     if RX_HASH_URL.match(a.get("href")) else 1.0)
+        for a in anchors
+    ]
+    return tl, enter, lastd, apos, awlen
 
 
-def _link_density_cached(el: Element, tl: dict) -> float:
-    """_link_density with all inner_text lengths taken from a
-    _trimmed_lens table — same iteration order, same float operations,
-    bit-identical result."""
+def _link_density_cached(el: Element, cache: tuple) -> float:
+    """_link_density reading every length from the _trimmed_lens index
+    — same summation order and operand values as the naive walk, so the
+    float result is bit-identical."""
+    tl, enter, lastd, apos, awlen = cache
     text_len = tl[id(el)]
     if text_len == 0:
         return 0.0
+    lo = bisect_right(apos, enter[id(el)])
+    hi = bisect_right(apos, lastd[id(el)])
     link_len = 0.0
-    for a in etree.get_elements_by_tag(el, "a"):
-        href = a.get("href")
-        coeff = PRESERVE_LINK_DENSITY_COEFF if RX_HASH_URL.match(href) else 1.0
-        link_len += tl[id(a)] * coeff
+    for i in range(lo, hi):
+        link_len += awlen[i]
     return link_len / text_len
 
 
@@ -455,10 +412,10 @@ class _Grab:
         # so one _trimmed_lens pass serves every candidate's density
         # (candidates are nested ancestors — per-candidate re-reads
         # would touch the page text once per ancestry level).
-        tl = _trimmed_lens(page) if self.scores else None
+        cache = _trimmed_lens(page) if self.scores else None
         for key in list(self.scores):
             cand = self.by_id[key]
-            adjusted = self.scores[key] * (1.0 - _link_density_cached(cand, tl))
+            adjusted = self.scores[key] * (1.0 - _link_density_cached(cand, cache))
             self.scores[key] = adjusted
             for i, tc in enumerate(top_candidates):
                 if adjusted > self.scores[id(tc)]:
