@@ -321,10 +321,17 @@ class _Grab:
     def _check_byline(self, el: Element, match_string: str) -> bool:
         if self.byline_found:
             return False
-        rel = el.get("rel")
-        itemprop = el.get("itemprop")
-        if (rel == "author" or "author" in itemprop
-                or RX_BYLINE.search(match_string)):
+        raw = el._rawattrs
+        if raw is not None and "rel" not in raw and "itemprop" not in raw:
+            # raw text cannot contain a rel/itemprop attribute — only
+            # the class/id byline regex can hit (conservative prescreen,
+            # avoids materializing the attr dict)
+            hit = RX_BYLINE.search(match_string)
+        else:
+            hit = (el.get("rel") == "author"
+                   or "author" in el.get("itemprop")
+                   or RX_BYLINE.search(match_string))
+        if hit:
             text = etree.text_content(el).strip()
             if 0 < len(text) < 100:
                 self.byline_found = True
