@@ -345,6 +345,14 @@ def q_url_dedup(spark, sf_dir):
     )
 
 
+def q_unigram_logprob(spark, sf_dir):
+    """Corpus-unigram LM quality proxy (the SQL-expressible analogue of
+    CCNet's KenLM perplexity filter): mean negative log2 token
+    probability per document, integer milli-bit arithmetic so the
+    aggregation is summation-order independent across engines."""
+    return textops.unigram_logprob(_docs(spark, sf_dir))
+
+
 def q_warc_extract(spark, sf_dir):
     """WARC-source correctness: the first 200 documents are serialized
     as per-record-gzip WARC shards with the writer twin (bounded
@@ -591,6 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "url_normalize": q_url_normalize,
         "url_dedup": q_url_dedup,
+        "unigram_logprob": q_unigram_logprob,
         "warc_extract": q_warc_extract,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
@@ -1092,6 +1101,26 @@ WITH n AS ({_URL_NORM_SQL})
 SELECT url_norm, count(*)::BIGINT AS n_docs,
        min(doc_id)::BIGINT AS canonical_doc_id
 FROM n GROUP BY url_norm""",
+        "unigram_logprob": """
+WITH t AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+  FROM documents
+),
+toks AS (SELECT doc_id, tok FROM t WHERE tok <> ''),
+vocab AS (SELECT tok, count(*) AS cnt FROM toks GROUP BY tok),
+tot AS (SELECT sum(cnt) AS n_total, count(*) AS n_vocab FROM vocab),
+scored AS (
+  SELECT tok,
+         round(-log2((cnt + 0.5) / (n_total + 0.5 * n_vocab)) * 10000, 0)::BIGINT
+           AS millibits
+  FROM vocab, tot
+),
+dt AS (SELECT doc_id, tok, count(*) AS n_occ FROM toks GROUP BY doc_id, tok)
+SELECT doc_id,
+       sum(n_occ)::BIGINT AS n_tokens,
+       ((sum(millibits * n_occ) * 1000) // sum(n_occ)) / 10000000.0 AS mean_neg_log2p
+FROM dt JOIN scored USING (tok)
+GROUP BY doc_id""",
         "warc_extract": """
 SELECT 'https://warc.local/' || doc_id AS url,
        'Doc ' || doc_id || ' ' || regexp_replace(trim(text), '\\s+', ' ', 'g') AS content_text,

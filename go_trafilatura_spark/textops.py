@@ -890,3 +890,62 @@ def url_dedup(df: DataFrame, url_col: str = "url",
             .groupBy("url_norm")
             .agg(F.count("*").alias("n_docs"),
                  F.min(id_col).alias("canonical_doc_id")))
+
+
+# -- unigram LM quality scoring -----------------------------------------------
+
+def unigram_logprob(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", smoothing: float = 0.5,
+                    broadcast: bool = True) -> DataFrame:
+    """CCNet-style LM quality proxy with a corpus-trained unigram
+    model: per document, the mean negative log2 probability of its
+    tokens under the corpus unigram distribution (low = fluent/common
+    wording, high = rare-token soup — the SQL-expressible analogue of
+    the KenLM perplexity filter).
+
+    Two phases: (1) token counts — explode + groupBy(token hash);
+    Zipf-hot tokens ("the") are absorbed by Spark's map-side partial
+    aggregation, so the shuffle carries one row per distinct token per
+    partition, not per occurrence; (2) scoring — per-document distinct
+    tokens join the vocabulary (BROADCAST: distinct-token count grows
+    ~O(corpus^0.5) by Heaps' law and is millions at 100 TB — still a
+    broadcastable dim; ``broadcast=False`` shuffles on the uniform
+    token hash instead), then one groupBy(doc_id) weighted mean.
+    Smoothing: absent tokens cannot occur (the vocab IS the corpus),
+    so ``smoothing`` only regularizes counts (count + s) / (total +
+    s·|V|). log2 rounded to 4 decimals for cross-engine determinism
+    (same convention as the cosine ops)."""
+    toks = (with_tokens(df, text_col)
+            .select(id_col, F.explode("tokens").alias("tok"))
+            .where(F.col("tok") != ""))
+    vocab = toks.groupBy("tok").agg(F.count("*").alias("cnt"))
+    totals_row = vocab.agg(
+        F.sum("cnt").alias("n_total"), F.count("*").alias("n_vocab"))
+    # Per-token cost in integer MILLI-BITS (round(-log2(p) * 10000)):
+    # the per-document aggregation then sums exact integers, so the
+    # result is independent of partition/summation order — the only
+    # cross-engine float op is one log2 per DISTINCT token, absorbed by
+    # the rounding grain. One final float division per document.
+    scored_vocab = (vocab.crossJoin(F.broadcast(totals_row))
+                    .select(
+                        "tok",
+                        F.round(
+                            -F.log2((F.col("cnt") + F.lit(smoothing))
+                                    / (F.col("n_total")
+                                       + F.lit(smoothing) * F.col("n_vocab")))
+                            * 10000, 0
+                        ).cast("bigint").alias("millibits"),
+                    ))
+    doc_toks = toks.groupBy(id_col, "tok").agg(F.count("*").alias("n_occ"))
+    vocab_side = F.broadcast(scored_vocab) if broadcast else scored_vocab
+    # Exact integer mean (milli-bits scaled by 1000, integer division),
+    # converted by one constant divisor — identical int in, identical
+    # double out on every engine (a float-division round() here can
+    # land on a half-tie and round differently across engines).
+    return (doc_toks.join(vocab_side, "tok")
+            .groupBy(id_col)
+            .agg(
+                F.sum("n_occ").cast("bigint").alias("n_tokens"),
+                (F.expr("sum(millibits * n_occ) * 1000 div sum(n_occ)")
+                 / F.lit(10000000.0)).alias("mean_neg_log2p"),
+            ))

@@ -1075,3 +1075,44 @@ def test_url_normalize_matches_python_reference(spark):
     assert groups[expect[1]] == (2, 1)
     assert groups[expect[3]] == (2, 3)
     assert groups[expect[5]] == (1, 5)
+
+
+def test_unigram_logprob_matches_python_reference(spark):
+    """Differential: corpus-unigram mean negative log2 probability
+    equals a pure-Python reference with the same milli-bit integer
+    arithmetic."""
+    import math
+    from collections import Counter
+
+    from go_trafilatura_spark import textops
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the log"),
+        (3, "zyxw qppr unseen tokens here"),
+        (4, "the the the the"),
+        (5, "   "),
+    ]
+    toks = {i: t.split() for i, t in rows}
+    vocab = Counter(tok for ts in toks.values() for tok in ts)
+    n_total = sum(vocab.values())
+    n_vocab = len(vocab)
+    milli = {
+        tok: round(-math.log2((c + 0.5) / (n_total + 0.5 * n_vocab)) * 10000)
+        for tok, c in vocab.items()
+    }
+    expect = {}
+    for i, ts in toks.items():
+        if not ts:
+            continue
+        total = sum(milli[t] for t in ts)
+        expect[i] = (len(ts), (total * 1000 // len(ts)) / 10000000.0)
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["mean_neg_log2p"])
+           for r in textops.unigram_logprob(df).collect()}
+    assert got == expect
+
+    got2 = {r["doc_id"]: (r["n_tokens"], r["mean_neg_log2p"])
+            for r in textops.unigram_logprob(df, broadcast=False).collect()}
+    assert got2 == expect
