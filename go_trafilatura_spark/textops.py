@@ -768,27 +768,26 @@ def line_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             .groupBy("h").agg(F.count("*").alias("nd"))
             .where(F.col("nd") >= min_docs)
             .select("h"))
-    freq_side = F.broadcast(freq) if broadcast else freq
-    kept = lines.join(freq_side, "h", "left_anti")
-    rebuilt = kept.groupBy(id_col).agg(
-        F.count("*").alias("n_lines_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
-                lambda x: x["line"],
-            ),
-            "\n",
-        ).alias("text_deduped"),
-    )
-    totals = lines.groupBy(id_col).agg(F.count("*").alias("n_lines"))
-    return (totals.join(rebuilt, id_col, "left")
-            .select(
-                id_col,
-                "n_lines",
-                F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
-                (F.col("n_lines") - F.coalesce("n_lines_kept", F.lit(0))
-                 ).alias("n_lines_removed"),
-                F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+    freq_marked = freq.withColumn("is_freq", F.lit(True))
+    freq_side = F.broadcast(freq_marked) if broadcast else freq_marked
+    # One left join marks frequent lines; one groupBy computes totals,
+    # kept counts, and the rebuilt text together (collect_list drops
+    # the nulls the when() leaves on frequent lines) — no separate
+    # anti-join / totals / final-join passes.
+    marked = lines.join(freq_side, "h", "left")
+    kept_struct = F.when(F.col("is_freq").isNull(), F.struct("pos", "line"))
+    return (marked.groupBy(id_col)
+            .agg(
+                F.count("*").alias("n_lines"),
+                F.count(kept_struct).alias("n_lines_kept"),
+                (F.count("*") - F.count(kept_struct)).alias("n_lines_removed"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_struct)),
+                        lambda x: x["line"],
+                    ),
+                    "\n",
+                ).alias("text_deduped"),
             ))
 
 
