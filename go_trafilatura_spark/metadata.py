@@ -728,15 +728,22 @@ def extract_dom_author(doc: Element, index=None) -> str:
     from a pruned clone of just that subtree (tail reattachment inside
     the subtree is identical, and both iter_text and clone exclude the
     root's tail, so the bytes match the document-wide prune)."""
-    discards: list[Element] = []
-    for rule in selectors.META_AUTHOR_DISCARD:
-        cands = index.candidates(rule) if index is not None else None
-        discards.extend(selectors.query_all(doc, rule, cands))
-    discard_ids = {id(d) for d in discards}
+    # The discard set is only consulted once an author rule actually
+    # matches a node — most pages have no DOM author candidate, so the
+    # META_AUTHOR_DISCARD queries are deferred until first use
+    # (identical results: the tree is unchanged between the two scans).
+    discards: list[Element] | None = None
+    discard_ids: set[int] = set()
 
     for rule in selectors.META_AUTHOR:
         cands = index.candidates(rule) if index is not None else None
-        for node in selectors.query_all(doc, rule, cands):
+        for node in selectors.query_iter(doc, rule, cands):
+            if discards is None:
+                discards = []
+                for drule in selectors.META_AUTHOR_DISCARD:
+                    dcands = index.candidates(drule) if index is not None else None
+                    discards.extend(selectors.query_all(doc, drule, dcands))
+                discard_ids = {id(d) for d in discards}
             skip = False
             anc = node
             while anc is not None:

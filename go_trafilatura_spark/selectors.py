@@ -107,6 +107,16 @@ def query_all(root: Element, rule, elements: list | None = None) -> list[Element
     return [el for el in _screened(elements, rule) if rule(el)]
 
 
+def query_iter(root: Element, rule, elements: list | None = None):
+    """Lazy query_all: yields matches in document order so callers that
+    stop at the first usable hit skip rule evaluation on the rest."""
+    if elements is None:
+        elements = _rule_candidates(root, rule)
+    for el in _screened(elements, rule):
+        if rule(el):
+            yield el
+
+
 class TagIndex:
     """One doc-order traversal shared by every rule application against
     an UNCHANGED tree. ``candidates(rule)`` returns the doc-ordered
