@@ -345,6 +345,18 @@ def q_url_dedup(spark, sf_dir):
     )
 
 
+def q_host_cap(spark, sf_dir):
+    """Per-host document cap over the Zipf-host fixture corpus: the
+    skew-safe two-stage top-N (each (host, salt) group reduces to its
+    own top-N before the per-host combine) vs the oracle's naive
+    row_number window — identical rows attest the decomposition."""
+    from go_trafilatura_spark.pipeline import host_cap
+
+    _ensure_fixtures()
+    pages = spark.read.parquet(PAGES_PARQUET)
+    return host_cap(pages, max_per_host=3)
+
+
 def q_unigram_logprob(spark, sf_dir):
     """Corpus-unigram LM quality proxy (the SQL-expressible analogue of
     CCNet's KenLM perplexity filter): mean negative log2 token
@@ -600,6 +612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": q_url_normalize,
         "url_dedup": q_url_dedup,
         "unigram_logprob": q_unigram_logprob,
+        "host_cap": q_host_cap,
         "warc_extract": q_warc_extract,
         "ann_bruteforce": q_ann_bruteforce,
         "ann_lsh": q_ann_lsh,
@@ -1101,6 +1114,17 @@ WITH n AS ({_URL_NORM_SQL})
 SELECT url_norm, count(*)::BIGINT AS n_docs,
        min(doc_id)::BIGINT AS canonical_doc_id
 FROM n GROUP BY url_norm""",
+        "host_cap": (
+            "SELECT host, url FROM ("
+            "  SELECT regexp_extract(url, "
+            "'^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1) AS host, "
+            "         url, row_number() OVER ("
+            "           PARTITION BY regexp_extract(url, "
+            "'^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)', 1) "
+            "           ORDER BY url) AS rn"
+            f"  FROM read_parquet('{PAGES_PARQUET}')"
+            ") WHERE rn <= 3"
+        ),
         "unigram_logprob": """
 WITH t AS (
   SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok

@@ -114,6 +114,35 @@ def salted_host_agg(pages: DataFrame,
     )
 
 
+def host_cap(pages: DataFrame, max_per_host: int = 3,
+             salt_buckets: int = SALT_BUCKETS) -> DataFrame:
+    """Per-host document cap (the crawl-pipeline step limiting any one
+    site's share of the corpus): keep the lexicographically-first
+    ``max_per_host`` urls of every host.
+
+    Skew-safe two-stage top-N — the naive window
+    ``row_number() over (partition by host order by url)`` serializes a
+    Zipf-hot host into one task; instead each (host, url-salt) group
+    reduces to its own top-N (partial state ≤ N rows), and the final
+    per-host combine sees ≤ salt_buckets·N rows regardless of host
+    size. Exact: min-N of a union is the min-N of per-part min-Ns.
+    Output: (host, url) for the kept documents."""
+    host = F.regexp_extract("url", HOST_REGEX, 1).alias("host")
+    salt = F.pmod(F.xxhash64("url"), F.lit(salt_buckets)).cast("int").alias("salt")
+    partial = (
+        pages.select(host, salt, "url")
+        .groupBy("host", "salt")
+        .agg(F.slice(F.array_sort(F.collect_list("url")), 1, max_per_host)
+             .alias("urls"))
+    )
+    combined = (
+        partial.groupBy("host")
+        .agg(F.slice(F.array_sort(F.flatten(F.collect_list("urls"))),
+                     1, max_per_host).alias("urls"))
+    )
+    return combined.select("host", F.explode("urls").alias("url"))
+
+
 def partition_time_stats(timed_df: DataFrame) -> DataFrame:
     """Skew observability (SURVEY.md §7.4.8): per-partition kernel time
     distribution from extract_pages_timed — p50/p99/max show whether the

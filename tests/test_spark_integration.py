@@ -1116,3 +1116,26 @@ def test_unigram_logprob_matches_python_reference(spark):
     got2 = {r["doc_id"]: (r["n_tokens"], r["mean_neg_log2p"])
             for r in textops.unigram_logprob(df, broadcast=False).collect()}
     assert got2 == expect
+
+
+def test_host_cap_matches_python_reference(spark):
+    """Differential: the salted two-stage per-host top-N equals the
+    naive global sort + slice, including on a deliberately hot host."""
+    from collections import defaultdict
+
+    from go_trafilatura_spark.pipeline import host_cap
+
+    urls = [f"https://hot.example.com/p/{i:04d}" for i in range(200)]
+    urls += [f"https://site{i}.org/a" for i in range(20)]
+    urls += [f"https://site{i}.org/b" for i in range(10)]
+    rows = [(u, b"<html></html>") for u in urls]
+
+    by_host = defaultdict(list)
+    for u in urls:
+        host = u.split("//")[1].split("/")[0]
+        by_host[host].append(u)
+    expect = {(h, u) for h, us in by_host.items() for u in sorted(us)[:3]}
+
+    df = spark.createDataFrame(rows, "url string, html binary")
+    got = {(r["host"], r["url"]) for r in host_cap(df, max_per_host=3).collect()}
+    assert got == expect
