@@ -107,6 +107,11 @@ def _match_string(el: Element) -> str:
 
 
 def _is_probably_visible(el: Element) -> bool:
+    raw = el._rawattrs
+    if raw is not None and "style" not in raw and "hidden" not in raw:
+        # raw text cannot contain a style/hidden/aria-hidden attribute
+        # (attribute NAMES are literal in raw) — visible, no parse
+        return True
     attrib = el.attrib
     if not attrib:
         return True
