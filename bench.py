@@ -286,6 +286,11 @@ def main() -> None:
         _control_worker(int(sys.argv[2]), int(sys.argv[3]))
         return
 
+    # Ambient co-tenant load swings this shared host ±30% between
+    # minutes; recording the 1/5/15-min load averages at start and end
+    # makes the measurement window visible in the artifact itself.
+    loadavg_start = list(os.getloadavg())
+
     # Two N→4N pairs on the SAME input per pair (the north rule's
     # two-cluster-size criterion): 2→8 at 30k docs (below the host's
     # memory-bandwidth ceiling; best-of-3 — this pair is the most
@@ -373,6 +378,8 @@ def main() -> None:
     }
     if realpage:
         result["realpage"] = realpage
+    result["loadavg_start"] = [round(x, 2) for x in loadavg_start]
+    result["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
     print(json.dumps(result))
 
 
