@@ -1,0 +1,82 @@
+"""spark-submit entry point for the corpus dedup / quality pipeline.
+
+    python -m go_trafilatura_spark.package_zip           # build dist zip
+    spark-submit --py-files dist/go_trafilatura_spark.zip \
+        jobs/dedup_job.py --input /path/documents --output /path/out \
+        [--stage exact|minhash|clusters|quality] [--partitions 256] \
+        [--k-shingle 3] [--checkpoint-dir /path/ckpt]
+
+Reads a documents table (doc_id, text, ...), runs the selected
+corpus-level stage from textops, and writes parquet:
+
+- exact:    md5-fingerprint duplicate flags (one uniform shuffle)
+- minhash:  MinHash signatures (explode -> map-side partial min)
+- clusters: LSH candidate pairs -> connected-component cluster ids
+            (reliable checkpoint when --checkpoint-dir is given —
+            executor-loss-safe lineage truncation at scale)
+- quality:  Gopher repetition signals + acceptance flags + unigram-LM
+            scores joined per document (projection + one broadcast join)
+
+Prints one JSON metrics line on completion.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--input", required=True)
+    parser.add_argument("--output", required=True)
+    parser.add_argument("--stage", default="exact",
+                        choices=("exact", "minhash", "clusters", "quality"))
+    parser.add_argument("--partitions", type=int, default=256)
+    parser.add_argument("--k-shingle", type=int, default=3)
+    parser.add_argument("--checkpoint-dir", default=None)
+    args = parser.parse_args()
+
+    from pyspark.sql import SparkSession, functions as F
+
+    from go_trafilatura_spark import textops
+
+    spark = SparkSession.builder.appName(f"gts-dedup-{args.stage}").getOrCreate()
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.shuffle.partitions", str(args.partitions))
+
+    docs = spark.read.parquet(args.input)
+
+    if args.stage == "exact":
+        out = textops.exact_dedup_flags(docs)
+    elif args.stage == "minhash":
+        out = textops.minhash_signatures(docs, k_shingle=args.k_shingle)
+    elif args.stage == "clusters":
+        checkpoint = "local"
+        if args.checkpoint_dir:
+            spark.sparkContext.setCheckpointDir(args.checkpoint_dir)
+            checkpoint = "reliable"
+        out = textops.dedup_clusters(docs, k_shingle=args.k_shingle,
+                                     checkpoint=checkpoint)
+    else:  # quality
+        rep = textops.gopher_repetition(docs)
+        qual = textops.gopher_quality_filter(docs).select(
+            "doc_id", "keep")
+        lm = textops.unigram_logprob(docs).select(
+            "doc_id", "mean_neg_log2p")
+        out = (rep.join(qual, "doc_id").join(lm, "doc_id", "left"))
+
+    from pyspark.sql import Observation
+
+    obs = Observation("dedup_metrics")
+    observed = out.observe(obs, F.count(F.lit(1)).alias("rows"))
+    observed.write.mode("overwrite").parquet(args.output)
+    print(json.dumps({"stage": args.stage, "rows": int(obs.get["rows"]),
+                      "output": args.output}))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

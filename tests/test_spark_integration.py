@@ -1139,3 +1139,36 @@ def test_host_cap_matches_python_reference(spark):
     df = spark.createDataFrame(rows, "url string, html binary")
     got = {(r["host"], r["url"]) for r in host_cap(df, max_per_host=3).collect()}
     assert got == expect
+
+
+def test_spark_submit_dedup_job(smoke_dir):
+    """spark-submit launch of the corpus dedup/quality job (the same
+    --py-files deployment path as the extraction job)."""
+    import json
+    import subprocess
+
+    from go_trafilatura_spark.package_zip import build_zip
+
+    zip_path = build_zip()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_dir = tempfile.mkdtemp(prefix="gts_dedup_submit_") + "/out"
+    try:
+        proc = subprocess.run(
+            [
+                "spark-submit", "--master", "local[2]",
+                "--py-files", zip_path,
+                os.path.join(repo, "jobs", "dedup_job.py"),
+                "--input", "/root/testdata/sf0.001/documents.parquet",
+                "--output", out_dir,
+                "--stage", "quality",
+                "--partitions", "4",
+            ],
+            capture_output=True, text=True, timeout=300, cwd=repo,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        stats = json.loads(line)
+        assert stats["stage"] == "quality"
+        assert stats["rows"] > 0
+    finally:
+        shutil.rmtree(os.path.dirname(out_dir), ignore_errors=True)
