@@ -1172,3 +1172,43 @@ def test_spark_submit_dedup_job(smoke_dir):
         assert stats["rows"] > 0
     finally:
         shutil.rmtree(os.path.dirname(out_dir), ignore_errors=True)
+
+
+def test_streaming_pii_scrub(spark):
+    """The PII/quality projections are stateless JVM expressions, so
+    they run unchanged under Structured Streaming: readStream over a
+    documents shard -> pii_scrub -> file sink equals the batch result."""
+    import json as _json
+
+    from go_trafilatura_spark import textops
+
+    tmp = tempfile.mkdtemp(prefix="gts_stream_pii_")
+    try:
+        in_dir = os.path.join(tmp, "in")
+        os.makedirs(in_dir)
+        rows = [(i, f"mail a{i}@ex{i}.org from 10.0.0.{i % 250} ok")
+                for i in range(30)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        df.coalesce(1).write.parquet(os.path.join(tmp, "staged"))
+        for f in os.listdir(os.path.join(tmp, "staged")):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(tmp, "staged", f),
+                            os.path.join(in_dir, "shard0.parquet"))
+
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .parquet(in_dir))
+        scrubbed = textops.pii_scrub(stream)
+        q = (scrubbed.writeStream.format("parquet")
+             .option("path", os.path.join(tmp, "out"))
+             .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+             .trigger(availableNow=True).start())
+        q.processAllAvailable()
+        q.stop()
+
+        got = {r["doc_id"]: (r["n_emails"], r["n_ips"], r["text_scrubbed"])
+               for r in spark.read.parquet(os.path.join(tmp, "out")).collect()}
+        expect = {r["doc_id"]: (r["n_emails"], r["n_ips"], r["text_scrubbed"])
+                  for r in textops.pii_scrub(df).collect()}
+        assert got == expect
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
