@@ -140,3 +140,128 @@ def discover_urls(df, kind: str = "feed"):
             yield pd.DataFrame({"source_url": src_out, "page_url": url_out})
 
     return df.select("source_url", "body").mapInPandas(batches, schema)
+
+
+# -- robots.txt ---------------------------------------------------------------
+
+_RX_ROBOTS_LINE = re.compile(r"^\s*([A-Za-z-]+)\s*:\s*(.*?)\s*(?:#.*)?$")
+
+
+def parse_robots(payload: bytes | str, agent: str = "*") -> dict:
+    """Minimal robots.txt parse (REP, RFC 9309 subset): the Sitemap:
+    directives (the discovery edge a crawl pipeline actually consumes —
+    sitemap URLs feed parse_sitemap), plus the Allow/Disallow rule list
+    and Crawl-delay for the given user-agent group ('*' or a literal
+    agent token; longest-agent-match wins as per the RFC).
+
+    Returns {"sitemaps": [...], "allow": [...], "disallow": [...],
+    "crawl_delay": float|None}. Parsing only — fetching is out of scope
+    (the table IS the crawl)."""
+    if isinstance(payload, bytes):
+        payload = payload.decode("utf-8", "replace")
+    sitemaps: list[str] = []
+    groups: dict[str, dict] = {}
+    current: list[str] = []
+    last_was_agent = False
+    for line in payload.splitlines():
+        m = _RX_ROBOTS_LINE.match(line)
+        if not m:
+            continue
+        field = m.group(1).lower()
+        value = m.group(2)
+        if field == "sitemap":
+            if value:
+                sitemaps.append(value)
+            continue
+        if field == "user-agent":
+            token = value.lower()
+            if not last_was_agent:
+                current = []
+            current.append(token)
+            for t in current:
+                groups.setdefault(t, {"allow": [], "disallow": [],
+                                      "crawl_delay": None})
+            last_was_agent = True
+            continue
+        last_was_agent = False
+        if field in ("allow", "disallow", "crawl-delay") and current:
+            for t in current:
+                g = groups[t]
+                if field == "allow" and value:
+                    g["allow"].append(value)
+                elif field == "disallow":
+                    if value:
+                        g["disallow"].append(value)
+                elif field == "crawl-delay" and g["crawl_delay"] is None:
+                    try:
+                        g["crawl_delay"] = float(value)
+                    except ValueError:
+                        pass
+
+    agent = agent.lower()
+    best = None
+    for token in groups:
+        if token != "*" and token in agent and (
+                best is None or len(token) > len(best)):
+            best = token
+    group = groups.get(best if best is not None else "*",
+                       {"allow": [], "disallow": [], "crawl_delay": None})
+    return {"sitemaps": sitemaps, "allow": list(group["allow"]),
+            "disallow": list(group["disallow"]),
+            "crawl_delay": group["crawl_delay"]}
+
+
+def robots_allows(rules: dict, path: str) -> bool:
+    """Longest-match REP decision for a url path against a parse_robots
+    group: the longest matching Allow/Disallow prefix wins; ties favor
+    Allow; no match allows. '$' anchors the end, '*' matches any span."""
+    def _match_len(pattern: str) -> int | None:
+        # translate REP wildcards to a regex (escape the rest)
+        anchored = pattern.endswith("$")
+        body = pattern[:-1] if anchored else pattern
+        parts = [re.escape(p) for p in body.split("*")]
+        rx = ".*".join(parts) + ("$" if anchored else "")
+        m = re.match(rx, path)
+        return len(pattern) if m else None
+
+    best_len = -1
+    decision = True
+    for pattern in rules.get("allow", ()):
+        ln = _match_len(pattern)
+        if ln is not None and ln > best_len:
+            best_len, decision = ln, True
+    for pattern in rules.get("disallow", ()):
+        ln = _match_len(pattern)
+        if ln is not None and (ln > best_len
+                               or (ln == best_len and not decision)):
+            # ties favor Allow: only a STRICTLY longer Disallow wins
+            if ln > best_len:
+                best_len, decision = ln, False
+    return decision
+
+
+def discover_sitemaps_from_robots(df):
+    """(source_url, body binary) → exploded (source_url, sitemap_url)
+    from robots.txt payloads — chains into discover_urls(kind='sitemap')
+    on the fetched sitemap bodies."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType([
+        StructField("source_url", StringType()),
+        StructField("sitemap_url", StringType()),
+    ])
+
+    def batches(it):
+        import pandas as pd
+
+        for pdf in it:
+            src_out, sm_out = [], []
+            for src, body in zip(pdf["source_url"], pdf["body"]):
+                if body is None:
+                    continue
+                for sm in parse_robots(bytes(body))["sitemaps"]:
+                    src_out.append(src)
+                    sm_out.append(sm)
+            yield pd.DataFrame({"source_url": src_out, "sitemap_url": sm_out})
+
+    return df.select("source_url", "body").mapInPandas(batches, schema)

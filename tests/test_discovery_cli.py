@@ -106,3 +106,51 @@ def test_cli_rejection_exit_code():
     )
     assert out.returncode == 1
     assert "rejected" in out.stderr
+
+
+ROBOTS = b"""
+# example robots file
+User-agent: *
+Disallow: /private/
+Allow: /private/public$
+Crawl-delay: 2
+
+User-agent: goodbot
+User-agent: otherbot
+Disallow: /only-good/
+Allow:
+
+Sitemap: https://example.com/sitemap.xml
+Sitemap: https://example.com/news-sitemap.xml
+"""
+
+
+def test_parse_robots_groups_and_sitemaps():
+    from go_trafilatura_spark.discovery import parse_robots
+
+    star = parse_robots(ROBOTS)
+    assert star["sitemaps"] == [
+        "https://example.com/sitemap.xml",
+        "https://example.com/news-sitemap.xml",
+    ]
+    assert star["disallow"] == ["/private/"]
+    assert star["allow"] == ["/private/public$"]
+    assert star["crawl_delay"] == 2.0
+
+    good = parse_robots(ROBOTS, agent="GoodBot/1.0")
+    assert good["disallow"] == ["/only-good/"]
+    assert good["crawl_delay"] is None
+
+
+def test_robots_allows_longest_match():
+    from go_trafilatura_spark.discovery import parse_robots, robots_allows
+
+    rules = parse_robots(ROBOTS)
+    assert robots_allows(rules, "/anything") is True
+    assert robots_allows(rules, "/private/page") is False
+    assert robots_allows(rules, "/private/public") is True  # $-anchored allow
+    assert robots_allows(rules, "/private/public2") is False  # $ blocks suffix
+
+    wild = {"allow": [], "disallow": ["/a/*/c"]}
+    assert robots_allows(wild, "/a/b/c") is False
+    assert robots_allows(wild, "/a/c") is True

@@ -1212,3 +1212,21 @@ def test_streaming_pii_scrub(spark):
         assert got == expect
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_discover_sitemaps_from_robots_dataframe(spark):
+    from pyspark.sql import Row
+
+    from go_trafilatura_spark.discovery import discover_sitemaps_from_robots
+    from test_discovery_cli import ROBOTS
+
+    df = spark.createDataFrame([
+        Row(source_url="https://example.com/robots.txt", body=bytearray(ROBOTS)),
+        Row(source_url="https://empty.org/robots.txt", body=bytearray(b"User-agent: *\n")),
+    ])
+    rows = {(r["source_url"], r["sitemap_url"])
+            for r in discover_sitemaps_from_robots(df).collect()}
+    assert rows == {
+        ("https://example.com/robots.txt", "https://example.com/sitemap.xml"),
+        ("https://example.com/robots.txt", "https://example.com/news-sitemap.xml"),
+    }
