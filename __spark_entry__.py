@@ -176,6 +176,18 @@ def q_exact_dedup(spark, sf_dir):
     return df.select("doc_id", "fingerprint", F.col("is_duplicate").cast("bigint").alias("is_duplicate"))
 
 
+def q_substring_dedup(spark, sf_dir):
+    """Cross-document duplicated k-token spans (exact substring dedup,
+    Lee et al. 2022 shape), merged per doc — textops.substring_dedup_spans."""
+    df = textops.substring_dedup_spans(_docs(spark, sf_dir))
+    return df.select(
+        "doc_id",
+        F.col("span_start").cast("bigint").alias("span_start"),
+        F.col("span_end").cast("bigint").alias("span_end"),
+        "n_windows",
+    )
+
+
 def q_minhash_signatures(spark, sf_dir):
     return textops.minhash_signatures(_docs(spark, sf_dir))
 
@@ -611,6 +623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": q_pii_scrub,
         "url_normalize": q_url_normalize,
         "url_dedup": q_url_dedup,
+        "substring_dedup": q_substring_dedup,
         "unigram_logprob": q_unigram_logprob,
         "host_cap": q_host_cap,
         "warc_extract": q_warc_extract,
@@ -977,6 +990,41 @@ def _sql_multimodal_frames(n_frames: int = 3) -> str:
     return " UNION ALL ".join(frames)
 
 
+def _sql_substring_dedup(k: int = 8) -> str:
+    """DuckDB twin of textops.substring_dedup_spans: same tokenization,
+    same cross-doc k-shingle duplication test, same overlap/adjacency
+    interval merge — all-integer outputs, hash-exact."""
+    sh_parts = " || ' ' || ".join(f"tokens[i+{j}]" for j in range(k))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKENS} AS tokens FROM documents
+), sh AS (
+  SELECT doc_id, unnest([{{'pos': i - 1, 'shingle': {sh_parts}}}
+          FOR i IN range(1, greatest(len(tokens) - {k - 1}, 0) + 1)], recursive := true)
+  FROM toks
+), dup AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(DISTINCT doc_id) >= 2
+), flagged AS (
+  SELECT s.doc_id, s.pos, s.pos + {k - 1} AS e
+  FROM sh s JOIN dup USING (shingle)
+), marked AS (
+  SELECT doc_id, pos, e,
+         CASE WHEN max(e) OVER w IS NULL OR pos > max(e) OVER w + 1
+              THEN 1 ELSE 0 END AS newgrp
+  FROM flagged
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+), grouped AS (
+  SELECT doc_id, pos, e,
+         sum(newgrp) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM marked
+)
+SELECT doc_id, min(pos)::BIGINT AS span_start, max(e)::BIGINT AS span_end,
+       count(*)::BIGINT AS n_windows
+FROM grouped GROUP BY doc_id, grp"""
+
+
 def oracle_sql() -> dict[str, str]:
     golden = GOLDEN_PARQUET.replace("'", "''")
     return {
@@ -1114,6 +1162,7 @@ WITH n AS ({_URL_NORM_SQL})
 SELECT url_norm, count(*)::BIGINT AS n_docs,
        min(doc_id)::BIGINT AS canonical_doc_id
 FROM n GROUP BY url_norm""",
+        "substring_dedup": _sql_substring_dedup(),
         "host_cap": (
             "SELECT host, url FROM ("
             "  SELECT regexp_extract(url, "

@@ -948,3 +948,67 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
                 (F.expr("sum(millibits * n_occ) * 1000 div sum(n_occ)")
                  / F.lit(10000000.0)).alias("mean_neg_log2p"),
             ))
+
+
+# -- exact substring dedup (duplicated k-token spans) -------------------------
+
+def substring_dedup_spans(df: DataFrame, k: int = 8) -> DataFrame:
+    """Exact substring deduplication signal (the k-token-window variant
+    of Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): flag every k-token window whose exact shingle
+    occurs in MORE THAN ONE document, then merge overlapping/adjacent
+    flagged windows per document into maximal duplicated spans.
+
+    Output: one row per merged span — (doc_id, span_start, span_end,
+    n_windows) with 0-based inclusive token indices. A downstream
+    pass can cut the spans out of the text or drop documents whose
+    duplicated fraction is high; intra-document repetition is the
+    gopher_repetition op's job, so the duplication test here is
+    cross-document (count(distinct doc_id) >= 2).
+
+    Scale shape (100 TB): posexplode -> ONE groupBy on the shingle
+    (uniform key; natural-text shingle frequency is Zipf-light at
+    k >= 8 because a hot shingle must repeat k consecutive tokens) ->
+    shuffle join back on the shingle -> per-doc window (shuffle on
+    doc_id). No collect, no quadratic pair set: the join returns one
+    row per flagged WINDOW, never per document pair. In production
+    replace the shingle string with xxhash64(shingle) on both sides of
+    the groupBy/join to slim the shuffle (the string is only needed
+    here so the DuckDB oracle reproduces the grouping byte-exactly)
+    and raise k to ~50 (the paper's setting); the plan shape is
+    invariant to both. All outputs are integers — hash-exact vs the
+    oracle (no float summation-order risk).
+    """
+    from pyspark.sql import Window
+
+    toks = with_tokens(df)
+    sh = toks.select(
+        "doc_id", F.posexplode(shingles_expr(k)).alias("pos", "shingle")
+    )
+    dup = (
+        sh.groupBy("shingle")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("shingle")
+    )
+    flagged = sh.join(dup, "shingle").select(
+        "doc_id", "pos", (F.col("pos") + F.lit(k - 1)).alias("end")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max("end").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    marked = flagged.withColumn(
+        "newgrp",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end + 1), 1).otherwise(0),
+    )
+    grouped = marked.withColumn(
+        "grp", F.sum("newgrp").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        grouped.groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.max("end").alias("span_end"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select("doc_id", "span_start", "span_end", "n_windows")
+    )

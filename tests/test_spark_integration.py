@@ -1230,3 +1230,38 @@ def test_discover_sitemaps_from_robots_dataframe(spark):
         ("https://example.com/robots.txt", "https://example.com/sitemap.xml"),
         ("https://example.com/robots.txt", "https://example.com/news-sitemap.xml"),
     }
+
+
+def test_substring_dedup_spans(spark):
+    """Exact substring dedup: cross-doc duplicated k-token windows merge
+    into maximal spans; intra-doc-only repetition is NOT flagged."""
+    from go_trafilatura_spark import textops
+
+    shared = "one two three four five six seven eight nine ten eleven twelve"
+    rows = [
+        # doc 0/1 share a 12-token run -> 5 overlapping 8-windows merge
+        (0, "intro words here " + shared + " tail zero"),
+        (1, shared + " other ending entirely different words"),
+        # doc 2: repeats ITS OWN phrase twice, shared with no one
+        (2, " ".join(["self repeat phrase alpha beta gamma delta eps"] * 2)),
+        # doc 3: no duplication
+        (3, "totally unique content with no overlap at all whatsoever ok"),
+        # doc 4: shares a DIFFERENT 8-token run with doc 5, twice,
+        # separated by a gap -> two distinct spans
+        (4, "a b c d e f g h GAP1 GAPX GAP2 GAP3 GAP4 p q r s t u v w"),
+        (5, "a b c d e f g h MID other filler words x y z p q r s t u v w"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_id"], r["span_start"], r["span_end"], r["n_windows"])
+           for r in textops.substring_dedup_spans(df, k=8).collect()}
+
+    # doc 0: shared starts at token 3, 12 tokens -> [3, 14], 5 windows
+    # doc 1: shared at 0 -> [0, 11], 5 windows
+    # docs 4/5: two 8-token runs, no merging across the gap
+    assert got == {
+        (0, 3, 14, 5), (1, 0, 11, 5),
+        (4, 0, 7, 1), (4, 13, 20, 1),
+        (5, 0, 7, 1), (5, 15, 22, 1),
+    }
+    # doc 2 (self-repeat only) and doc 3 (unique) absent: cross-doc test
+    assert {d for d, *_ in got} == {0, 1, 4, 5}
