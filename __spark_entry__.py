@@ -188,6 +188,12 @@ def q_substring_dedup(spark, sf_dir):
     )
 
 
+def q_substring_dedup_filter(spark, sf_dir):
+    """Doc-level duplicated-token fraction + keep flag over the
+    substring spans — textops.substring_dedup_filter."""
+    return textops.substring_dedup_filter(_docs(spark, sf_dir))
+
+
 def q_minhash_signatures(spark, sf_dir):
     return textops.minhash_signatures(_docs(spark, sf_dir))
 
@@ -624,6 +630,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_normalize": q_url_normalize,
         "url_dedup": q_url_dedup,
         "substring_dedup": q_substring_dedup,
+        "substring_dedup_filter": q_substring_dedup_filter,
         "unigram_logprob": q_unigram_logprob,
         "host_cap": q_host_cap,
         "warc_extract": q_warc_extract,
@@ -1025,6 +1032,30 @@ SELECT doc_id, min(pos)::BIGINT AS span_start, max(e)::BIGINT AS span_end,
 FROM grouped GROUP BY doc_id, grp"""
 
 
+def _sql_substring_dedup_filter(k: int = 8, permille_cap: int = 300) -> str:
+    """DuckDB twin of textops.substring_dedup_filter — spans CTE +
+    per-doc token counts, integer per-mille, keep flag."""
+    return f"""
+WITH spans AS ({_sql_substring_dedup(k)}),
+dup AS (
+  SELECT doc_id, sum(span_end - span_start + 1)::BIGINT AS n_dup_tokens
+  FROM spans GROUP BY doc_id
+),
+tok AS (
+  SELECT doc_id, len({_TOKENS})::BIGINT AS n_tokens FROM documents
+),
+joined AS (
+  SELECT t.doc_id, t.n_tokens,
+         coalesce(d.n_dup_tokens, 0)::BIGINT AS n_dup_tokens
+  FROM tok t LEFT JOIN dup d USING (doc_id)
+)
+SELECT doc_id, n_tokens, n_dup_tokens,
+       ((n_dup_tokens * 1000) // n_tokens)::BIGINT AS dup_permille,
+       (CASE WHEN (n_dup_tokens * 1000) // n_tokens <= {permille_cap}
+             THEN 1 ELSE 0 END)::BIGINT AS keep
+FROM joined"""
+
+
 def oracle_sql() -> dict[str, str]:
     golden = GOLDEN_PARQUET.replace("'", "''")
     return {
@@ -1163,6 +1194,7 @@ SELECT url_norm, count(*)::BIGINT AS n_docs,
        min(doc_id)::BIGINT AS canonical_doc_id
 FROM n GROUP BY url_norm""",
         "substring_dedup": _sql_substring_dedup(),
+        "substring_dedup_filter": _sql_substring_dedup_filter(),
         "host_cap": (
             "SELECT host, url FROM ("
             "  SELECT regexp_extract(url, "

@@ -1012,3 +1012,35 @@ def substring_dedup_spans(df: DataFrame, k: int = 8) -> DataFrame:
         )
         .select("doc_id", "span_start", "span_end", "n_windows")
     )
+
+
+def substring_dedup_filter(df: DataFrame, k: int = 8,
+                           max_dup_frac: float = 0.3) -> DataFrame:
+    """Document-level decision step over substring_dedup_spans: the
+    fraction of each document's tokens inside cross-document duplicated
+    spans, and the keep flag (drop when the duplicated fraction exceeds
+    ``max_dup_frac`` — the span-cutting alternative is a downstream
+    choice; this op is the Gopher-style accept/reject form).
+
+    All-integer arithmetic (per-mille fraction via integer division) —
+    hash-exact vs the oracle. Scale shape: the spans' per-doc window
+    output is already partitioned by doc_id, so the span aggregation
+    adds no exchange; one doc_id equi-join against the token counts.
+    """
+    spans = substring_dedup_spans(df, k)
+    dup = spans.groupBy("doc_id").agg(
+        F.sum(F.col("span_end") - F.col("span_start") + 1)
+        .cast("bigint").alias("n_dup_tokens"))
+    toks = with_tokens(df).select(
+        "doc_id", F.size("tokens").cast("bigint").alias("n_tokens"))
+    permille_cap = int(round(max_dup_frac * 1000))
+    out = (
+        toks.join(dup, "doc_id", "left")
+        .withColumn("n_dup_tokens", F.coalesce("n_dup_tokens", F.lit(0).cast("bigint")))
+        .withColumn("dup_permille", F.expr("n_dup_tokens * 1000 div n_tokens"))
+    )
+    return out.select(
+        "doc_id", "n_tokens", "n_dup_tokens", "dup_permille",
+        F.when(F.col("dup_permille") <= permille_cap, 1).otherwise(0)
+        .cast("bigint").alias("keep"),
+    )

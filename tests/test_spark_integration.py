@@ -1265,3 +1265,28 @@ def test_substring_dedup_spans(spark):
     }
     # doc 2 (self-repeat only) and doc 3 (unique) absent: cross-doc test
     assert {d for d, *_ in got} == {0, 1, 4, 5}
+
+
+def test_substring_dedup_filter(spark):
+    """Doc-level duplicated-fraction filter: per-mille arithmetic and
+    the keep flag; docs without spans appear with zero counts."""
+    from go_trafilatura_spark import textops
+
+    shared = " ".join(f"tok{i}" for i in range(16))
+    rows = [
+        (0, shared),                                   # 16/16 dup -> drop
+        (1, shared + " " + " ".join(f"u{i}" for i in range(34))),  # 16/50
+        (2, "entirely unique words " + " ".join(f"v{i}" for i in range(20))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["n_dup_tokens"],
+                         r["dup_permille"], r["keep"])
+           for r in textops.substring_dedup_filter(df, k=8).collect()}
+    assert got == {
+        0: (16, 16, 1000, 0),
+        1: (50, 16, 320, 0),   # 320 > 300 per-mille cap
+        2: (23, 0, 0, 1),
+    }
+    relaxed = {r["doc_id"]: r["keep"] for r in
+               textops.substring_dedup_filter(df, k=8, max_dup_frac=0.5).collect()}
+    assert relaxed == {0: 0, 1: 1, 2: 1}
