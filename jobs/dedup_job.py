@@ -3,7 +3,7 @@
     python -m go_trafilatura_spark.package_zip           # build dist zip
     spark-submit --py-files dist/go_trafilatura_spark.zip \
         jobs/dedup_job.py --input /path/documents --output /path/out \
-        [--stage exact|minhash|clusters|quality] [--partitions 256] \
+        [--stage exact|minhash|clusters|substring|quality] [--partitions 256] \
         [--k-shingle 3] [--checkpoint-dir /path/ckpt]
 
 Reads a documents table (doc_id, text, ...), runs the selected
@@ -14,6 +14,9 @@ corpus-level stage from textops, and writes parquet:
 - clusters: LSH candidate pairs -> connected-component cluster ids
             (reliable checkpoint when --checkpoint-dir is given —
             executor-loss-safe lineage truncation at scale)
+- substring: exact-substring duplicated-fraction filter (Lee et al.
+            2022 k-token windows; --k-shingle is the window size —
+            use ~50 at production scale)
 - quality:  Gopher repetition signals + acceptance flags + unigram-LM
             scores joined per document (projection + one broadcast join)
 
@@ -32,7 +35,7 @@ def main() -> int:
     parser.add_argument("--input", required=True)
     parser.add_argument("--output", required=True)
     parser.add_argument("--stage", default="exact",
-                        choices=("exact", "minhash", "clusters", "quality"))
+                        choices=("exact", "minhash", "clusters", "substring", "quality"))
     parser.add_argument("--partitions", type=int, default=256)
     parser.add_argument("--k-shingle", type=int, default=3)
     parser.add_argument("--checkpoint-dir", default=None)
@@ -59,6 +62,8 @@ def main() -> int:
             checkpoint = "reliable"
         out = textops.dedup_clusters(docs, k_shingle=args.k_shingle,
                                      checkpoint=checkpoint)
+    elif args.stage == "substring":
+        out = textops.substring_dedup_filter(docs, k=args.k_shingle)
     else:  # quality
         rep = textops.gopher_repetition(docs)
         qual = textops.gopher_quality_filter(docs).select(
