@@ -263,6 +263,7 @@ def _time_queries() -> dict:
         "extract_synth", "token_counts", "fingerprints", "exact_dedup",
         "minhash_signatures", "minhash_lsh_pairs", "simhash",
         "quality_scores", "lang_id", "ann_bruteforce", "ann_lsh",
+        "substring_dedup",
     )
     qs = entrymod.queries()
     for name in wanted:
