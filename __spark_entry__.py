@@ -1174,17 +1174,23 @@ FROM tot t LEFT JOIN reb r USING (url)""",
         "pii_scrub": f"""
 WITH raw AS (
   SELECT doc_id, {_PII_RAW_SQL} AS t FROM documents
+),
+s1 AS (
+  SELECT doc_id, t,
+         regexp_replace(t, '{PII_EMAIL_SQL}', '<EMAIL>', 'g') AS t1
+  FROM raw
+),
+s2 AS (
+  SELECT doc_id, t, t1,
+         regexp_replace(t1, '{PII_IPV4_SQL}', '<IP>', 'g') AS t2
+  FROM s1
 )
 SELECT doc_id,
        len(regexp_extract_all(t, '{PII_EMAIL_SQL}'))::BIGINT AS n_emails,
-       len(regexp_extract_all(t, '{PII_IPV4_SQL}'))::BIGINT AS n_ips,
-       len(regexp_extract_all(t, '{PII_PHONE_SQL}'))::BIGINT AS n_phones,
-       regexp_replace(
-         regexp_replace(
-           regexp_replace(t, '{PII_EMAIL_SQL}', '<EMAIL>', 'g'),
-           '{PII_IPV4_SQL}', '<IP>', 'g'),
-         '{PII_PHONE_SQL}', '<PHONE>', 'g') AS text_scrubbed
-FROM raw""",
+       len(regexp_extract_all(t1, '{PII_IPV4_SQL}'))::BIGINT AS n_ips,
+       len(regexp_extract_all(t2, '{PII_PHONE_SQL}'))::BIGINT AS n_phones,
+       regexp_replace(t2, '{PII_PHONE_SQL}', '<PHONE>', 'g') AS text_scrubbed
+FROM s2""",
         "url_normalize": f"""
 WITH n AS ({_URL_NORM_SQL})
 SELECT doc_id, url_norm FROM n""",

@@ -198,10 +198,16 @@ def parse_robots(payload: bytes | str, agent: str = "*") -> dict:
                     except ValueError:
                         pass
 
-    agent = agent.lower()
+    # RFC 9309 §2.2.1: match against the crawler's product token (the
+    # part before any "/" version or whitespace), case-insensitively —
+    # a group token matches when it is a PREFIX of the product token
+    # (longest match wins). Plain substring containment would let a
+    # short group like "bot" capture "MyGoodBot/1.0" and apply another
+    # crawler's rules.
+    product = re.split(r"[/\s]", agent.lower(), maxsplit=1)[0]
     best = None
     for token in groups:
-        if token != "*" and token in agent and (
+        if token != "*" and product.startswith(token) and (
                 best is None or len(token) > len(best)):
             best = token
     group = groups.get(best if best is not None else "*",
@@ -232,11 +238,9 @@ def robots_allows(rules: dict, path: str) -> bool:
             best_len, decision = ln, True
     for pattern in rules.get("disallow", ()):
         ln = _match_len(pattern)
-        if ln is not None and (ln > best_len
-                               or (ln == best_len and not decision)):
-            # ties favor Allow: only a STRICTLY longer Disallow wins
-            if ln > best_len:
-                best_len, decision = ln, False
+        # ties favor Allow: only a STRICTLY longer Disallow wins
+        if ln is not None and ln > best_len:
+            best_len, decision = ln, False
     return decision
 
 

@@ -120,27 +120,40 @@ def host_cap(pages: DataFrame, max_per_host: int = 3,
     site's share of the corpus): keep the lexicographically-first
     ``max_per_host`` urls of every host.
 
-    Skew-safe two-stage top-N — the naive window
+    Skew-safe two-stage top-N — the naive single window
     ``row_number() over (partition by host order by url)`` serializes a
-    Zipf-hot host into one task; instead each (host, url-salt) group
-    reduces to its own top-N (partial state ≤ N rows), and the final
-    per-host combine sees ≤ salt_buckets·N rows regardless of host
+    Zipf-hot host into one task; instead stage one takes the per-group
+    top-N within each (host, url-salt) partition, and the per-host
+    stage-two combine sees ≤ salt_buckets·N rows regardless of host
     size. Exact: min-N of a union is the min-N of per-part min-Ns.
+
+    Both stages are ``row_number`` windows, NOT collect_list+slice: a
+    sort-based window never materializes the group in an aggregation
+    buffer — the shuffle's external sort spills to disk and the running
+    row counter is O(1) state — so executor memory stays bounded even
+    when one (host, salt) group holds millions of urls (an earlier
+    collect_list formulation built the whole group as one in-memory
+    array before slicing, an OOM at Zipf-host scale; pinned by
+    test_host_cap_hot_host_bounded_state).
+
     Output: (host, url) for the kept documents."""
+    from pyspark.sql import Window
+
     host = F.regexp_extract("url", HOST_REGEX, 1).alias("host")
     salt = F.pmod(F.xxhash64("url"), F.lit(salt_buckets)).cast("int").alias("salt")
-    partial = (
+    w1 = Window.partitionBy("host", "salt").orderBy("url")
+    stage1 = (
         pages.select(host, salt, "url")
-        .groupBy("host", "salt")
-        .agg(F.slice(F.array_sort(F.collect_list("url")), 1, max_per_host)
-             .alias("urls"))
+        .withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") <= max_per_host)
     )
-    combined = (
-        partial.groupBy("host")
-        .agg(F.slice(F.array_sort(F.flatten(F.collect_list("urls"))),
-                     1, max_per_host).alias("urls"))
+    w2 = Window.partitionBy("host").orderBy("url")
+    return (
+        stage1.select("host", "url")
+        .withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") <= max_per_host)
+        .select("host", "url")
     )
-    return combined.select("host", F.explode("urls").alias("url"))
 
 
 def partition_time_stats(timed_df: DataFrame) -> DataFrame:

@@ -178,7 +178,8 @@ def minhash_signatures(df: DataFrame, k_shingle: int = 3) -> DataFrame:
 
 
 def minhash_lsh_pairs(df: DataFrame, k_shingle: int = 3,
-                      max_band_df: int = 100) -> DataFrame:
+                      max_band_df: int = 100,
+                      persist_bands: bool = True) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding (2 bands × 2 rows):
     docs agreeing on a full band are candidates. Equi-join on band keys —
     no O(n²) comparison ever materializes.
@@ -192,13 +193,38 @@ def minhash_lsh_pairs(df: DataFrame, k_shingle: int = 3,
     hot-key set, so the guard itself adds no shuffle on the big side).
     Groups that large are exact/near-exact duplicate families, which the
     much cheaper exact_dedup_flags / fingerprint pass already handles —
-    LSH exists to find the *sparse* near-duplicate pairs."""
+    LSH exists to find the *sparse* near-duplicate pairs.
+
+    The band frame is **persisted** before the per-band fan-out
+    (``persist_bands``): each band branch plus its hot-key subquery
+    re-reads the cached bands instead of re-running the signature
+    aggregation — the shingle explode + groupBy (the most expensive
+    stage of the whole dedup at 100 TB) executes exactly once. The
+    cache is MEMORY_AND_DISK (one short row per doc — the reduced
+    side, never the shingles) and is released by Spark's ContextCleaner
+    when the result's lineage is dropped; dedup_clusters unpersists it
+    explicitly after checkpointing the edge list."""
+    pairs, _ = _minhash_lsh_pairs_impl(df, k_shingle, max_band_df, persist_bands)
+    return pairs
+
+
+def _minhash_lsh_pairs_impl(df: DataFrame, k_shingle: int, max_band_df: int,
+                            persist_bands: bool):
+    """Implementation returning (pairs, persisted_bands_handle_or_None)
+    so callers that materialize downstream (dedup_clusters) can
+    unpersist deterministically."""
     sigs = minhash_signatures(df, k_shingle)
     bands = sigs.select(
         "doc_id",
         F.concat_ws("_", F.col("sig0"), F.col("sig1")).alias("band0"),
         F.concat_ws("_", F.col("sig2"), F.col("sig3")).alias("band1"),
     )
+    handle = None
+    if persist_bands:
+        from pyspark import StorageLevel
+
+        bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
+        handle = bands
     pairs = None
     for band in ("band0", "band1"):
         keyed = bands.select(F.col("doc_id").alias("doc_id"), F.col(band).alias("key"))
@@ -213,7 +239,7 @@ def minhash_lsh_pairs(df: DataFrame, k_shingle: int = 3,
         b = kept.select(F.col("doc_id").alias("doc_b"), "key")
         p = a.join(b, "key").where(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
         pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs.distinct()
+    return pairs.distinct(), handle
 
 
 def dedup_clusters(df: DataFrame, k_shingle: int = 3, max_iter: int = 15,
@@ -240,15 +266,13 @@ def dedup_clusters(df: DataFrame, k_shingle: int = 3, max_iter: int = 15,
       fault-tolerant checkpoint directory (HDFS/object store on a
       cluster). If no checkpoint dir is configured, one is created
       under the Spark local dir so local runs work out of the box.
-    """
-    pairs = minhash_lsh_pairs(df, k_shingle)
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-    )
-    labels = df.select("doc_id", F.col("doc_id").alias("cluster_id"))
 
+    The edge list is checkpointed EAGERLY before the loop (same mode
+    as the labels), so the full LSH lineage — shingle explode,
+    signature aggregation, band joins — executes exactly once, not
+    once per CC iteration; the bands cache minhash_lsh_pairs holds is
+    unpersisted as soon as the edges are materialized.
+    """
     if checkpoint not in ("local", "reliable"):
         raise ValueError(f"checkpoint must be 'local' or 'reliable': {checkpoint!r}")
     if checkpoint == "reliable":
@@ -257,6 +281,21 @@ def dedup_clusters(df: DataFrame, k_shingle: int = 3, max_iter: int = 15,
             import tempfile
 
             sc.setCheckpointDir(tempfile.mkdtemp(prefix="gts-ckpt-"))
+
+    pairs, bands_handle = _minhash_lsh_pairs_impl(
+        df, k_shingle, max_band_df=100, persist_bands=True)
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    # Materialize the edges ONCE (eager): every CC iteration joins this
+    # frame, and without the checkpoint the whole LSH pipeline would
+    # re-execute per iteration.
+    edges = edges.checkpoint() if checkpoint == "reliable" else edges.localCheckpoint()
+    if bands_handle is not None:
+        bands_handle.unpersist(blocking=False)
+    labels = df.select("doc_id", F.col("doc_id").alias("cluster_id"))
 
     for _ in range(max_iter):
         neighbor_min = (
@@ -752,8 +791,13 @@ def line_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     order.
 
     Scale shape (100 TB): lines shuffle once as (line_hash, doc_id)
-    pairs for the distinct-doc count — keyed on a uniform md5 hash, no
-    skew. The FREQUENT-line set (count >= min_docs) is, by Zipf's law,
+    pairs for the distinct-doc count — keyed on the FULL 128-bit md5
+    (32-byte hex string; a 60-bit truncation would hit birthday
+    collisions at billions of distinct lines and silently delete
+    unique prose — at 128 bits the expected collision count stays ≪ 1
+    at any conceivable corpus size, the same substitution
+    substring_dedup_spans documents for its hashed path). Uniform
+    key, no skew. The FREQUENT-line set (count >= min_docs) is, by Zipf's law,
     tiny relative to the corpus (it is the repeated boilerplate, not
     the unique prose), so it BROADCASTS and the removal pass is a
     broadcast left-anti join — the corpus body never shuffles again.
@@ -763,7 +807,7 @@ def line_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     lines = df.select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
-    ).withColumn("h", _md5_bigint(F.col("line")))
+    ).withColumn("h", F.md5(F.col("line")))
     freq = (lines.select("h", id_col).distinct()
             .groupBy("h").agg(F.count("*").alias("nd"))
             .where(F.col("nd") >= min_docs)
@@ -803,24 +847,27 @@ PII_PHONE = r"\+\d{9,15}"
 def pii_scrub(df: DataFrame, text_col: str = "text",
               id_col: str = "doc_id") -> DataFrame:
     """Training-data PII redaction: replace emails, IPv4 addresses and
-    international-format phone numbers with typed placeholder tokens
-    and count each category (counted per pattern on the RAW text, then
-    redacted sequentially email -> ip -> phone).
+    international-format phone numbers with typed placeholder tokens,
+    redacted sequentially email -> ip -> phone. Each category is
+    counted on the text its replacement pass ACTUALLY SEES (emails on
+    the raw text, IPs on the email-redacted text, phones on the
+    email+IP-redacted text), so the counts always equal the number of
+    placeholders present in text_scrubbed — an overlapping match (an
+    IPv4 inside an email local part, already consumed by <EMAIL>) is
+    not double-counted.
 
     Scale shape: pure projection — three regexp_replace + three
     regexp_count JVM expressions, whole-stage-codegen eligible, no
     shuffle; at 100 TB this is a single scan-and-rewrite pass."""
     raw = F.col(text_col)
-    scrubbed = F.regexp_replace(
-        F.regexp_replace(
-            F.regexp_replace(raw, PII_EMAIL, "<EMAIL>"),
-            PII_IPV4, "<IP>"),
-        PII_PHONE, "<PHONE>")
+    t1 = F.regexp_replace(raw, PII_EMAIL, "<EMAIL>")
+    t2 = F.regexp_replace(t1, PII_IPV4, "<IP>")
+    scrubbed = F.regexp_replace(t2, PII_PHONE, "<PHONE>")
     return df.select(
         F.col(id_col),
         F.regexp_count(raw, F.lit(PII_EMAIL)).cast("bigint").alias("n_emails"),
-        F.regexp_count(raw, F.lit(PII_IPV4)).cast("bigint").alias("n_ips"),
-        F.regexp_count(raw, F.lit(PII_PHONE)).cast("bigint").alias("n_phones"),
+        F.regexp_count(t1, F.lit(PII_IPV4)).cast("bigint").alias("n_ips"),
+        F.regexp_count(t2, F.lit(PII_PHONE)).cast("bigint").alias("n_phones"),
         scrubbed.alias("text_scrubbed"),
     )
 
@@ -952,7 +999,8 @@ def unigram_logprob(df: DataFrame, text_col: str = "text",
 
 # -- exact substring dedup (duplicated k-token spans) -------------------------
 
-def substring_dedup_spans(df: DataFrame, k: int = 8) -> DataFrame:
+def substring_dedup_spans(df: DataFrame, k: int = 8,
+                          hash_shingles: bool = False) -> DataFrame:
     """Exact substring deduplication signal (the k-token-window variant
     of Lee et al. 2022, "Deduplicating Training Data Makes Language
     Models Better"): flag every k-token window whose exact shingle
@@ -971,13 +1019,21 @@ def substring_dedup_spans(df: DataFrame, k: int = 8) -> DataFrame:
     k >= 8 because a hot shingle must repeat k consecutive tokens) ->
     shuffle join back on the shingle -> per-doc window (shuffle on
     doc_id). No collect, no quadratic pair set: the join returns one
-    row per flagged WINDOW, never per document pair. In production
-    replace the shingle string with xxhash64(shingle) on both sides of
-    the groupBy/join to slim the shuffle (the string is only needed
-    here so the DuckDB oracle reproduces the grouping byte-exactly)
-    and raise k to ~50 (the paper's setting); the plan shape is
-    invariant to both. All outputs are integers — hash-exact vs the
-    oracle (no float summation-order risk).
+    row per flagged WINDOW, never per document pair.
+
+    ``hash_shingles=True`` is the PRODUCTION path: both sides of the
+    groupBy/join carry xxhash64(shingle) (8 bytes) instead of the
+    k-token shingle string — at k≈50 (the paper's setting) the string
+    is hundreds of bytes and dominates the shuffle, so the hash slims
+    it by ~50×. A 64-bit collision flags one spurious window pair per
+    ~2^32 distinct shingles per bucket pairing — at most it merges one
+    extra window into a span (same class of substitution line_dedup
+    documents for its md5 keys). The string path (default) exists so
+    the DuckDB oracle reproduces the grouping byte-exactly; both paths
+    produce identical spans on collision-free inputs (pinned by
+    test_substring_dedup_hashed_parity). The plan shape is invariant
+    to both the flag and k. All outputs are integers — hash-exact vs
+    the oracle (no float summation-order risk).
     """
     from pyspark.sql import Window
 
@@ -985,6 +1041,8 @@ def substring_dedup_spans(df: DataFrame, k: int = 8) -> DataFrame:
     sh = toks.select(
         "doc_id", F.posexplode(shingles_expr(k)).alias("pos", "shingle")
     )
+    if hash_shingles:
+        sh = sh.select("doc_id", "pos", F.xxhash64("shingle").alias("shingle"))
     dup = (
         sh.groupBy("shingle")
         .agg(F.count_distinct("doc_id").alias("nd"))
@@ -1015,7 +1073,8 @@ def substring_dedup_spans(df: DataFrame, k: int = 8) -> DataFrame:
 
 
 def substring_dedup_filter(df: DataFrame, k: int = 8,
-                           max_dup_frac: float = 0.3) -> DataFrame:
+                           max_dup_frac: float = 0.3,
+                           hash_shingles: bool = False) -> DataFrame:
     """Document-level decision step over substring_dedup_spans: the
     fraction of each document's tokens inside cross-document duplicated
     spans, and the keep flag (drop when the duplicated fraction exceeds
@@ -1026,8 +1085,10 @@ def substring_dedup_filter(df: DataFrame, k: int = 8,
     hash-exact vs the oracle. Scale shape: the spans' per-doc window
     output is already partitioned by doc_id, so the span aggregation
     adds no exchange; one doc_id equi-join against the token counts.
+    ``hash_shingles`` selects the slim-shuffle production path (see
+    substring_dedup_spans).
     """
-    spans = substring_dedup_spans(df, k)
+    spans = substring_dedup_spans(df, k, hash_shingles=hash_shingles)
     dup = spans.groupBy("doc_id").agg(
         F.sum(F.col("span_end") - F.col("span_start") + 1)
         .cast("bigint").alias("n_dup_tokens"))

@@ -4,7 +4,7 @@
     spark-submit --py-files dist/go_trafilatura_spark.zip \
         jobs/dedup_job.py --input /path/documents --output /path/out \
         [--stage exact|minhash|clusters|substring|quality] [--partitions 256] \
-        [--k-shingle 3] [--checkpoint-dir /path/ckpt]
+        [--k-shingle 3] [--k-substring 50] [--checkpoint-dir /path/ckpt]
 
 Reads a documents table (doc_id, text, ...), runs the selected
 corpus-level stage from textops, and writes parquet:
@@ -15,8 +15,11 @@ corpus-level stage from textops, and writes parquet:
             (reliable checkpoint when --checkpoint-dir is given —
             executor-loss-safe lineage truncation at scale)
 - substring: exact-substring duplicated-fraction filter (Lee et al.
-            2022 k-token windows; --k-shingle is the window size —
-            use ~50 at production scale)
+            2022 k-token windows; --k-substring is the window size,
+            default 50 — the paper's production setting, deliberately
+            NOT the minhash --k-shingle of 3, which would flag every
+            3-token span and reject most documents). Runs the
+            hashed-shingle production path (xxhash64 shuffle keys).
 - quality:  Gopher repetition signals + acceptance flags + unigram-LM
             scores joined per document (projection + one broadcast join)
 
@@ -37,7 +40,11 @@ def main() -> int:
     parser.add_argument("--stage", default="exact",
                         choices=("exact", "minhash", "clusters", "substring", "quality"))
     parser.add_argument("--partitions", type=int, default=256)
-    parser.add_argument("--k-shingle", type=int, default=3)
+    parser.add_argument("--k-shingle", type=int, default=3,
+                        help="minhash/clusters shingle size")
+    parser.add_argument("--k-substring", type=int, default=50,
+                        help="substring-dedup window size (Lee et al. 2022 "
+                             "uses ~50 tokens)")
     parser.add_argument("--checkpoint-dir", default=None)
     args = parser.parse_args()
 
@@ -63,7 +70,8 @@ def main() -> int:
         out = textops.dedup_clusters(docs, k_shingle=args.k_shingle,
                                      checkpoint=checkpoint)
     elif args.stage == "substring":
-        out = textops.substring_dedup_filter(docs, k=args.k_shingle)
+        out = textops.substring_dedup_filter(docs, k=args.k_substring,
+                                             hash_shingles=True)
     else:  # quality
         rep = textops.gopher_repetition(docs)
         qual = textops.gopher_quality_filter(docs).select(

@@ -142,6 +142,31 @@ def test_parse_robots_groups_and_sitemaps():
     assert good["crawl_delay"] is None
 
 
+def test_parse_robots_agent_prefix_not_substring():
+    """Group selection matches the crawler's PRODUCT TOKEN by prefix
+    (RFC 9309), not substring containment: a 'bot' group must not
+    capture 'MyGoodBot' and apply another crawler's rules."""
+    from go_trafilatura_spark.discovery import parse_robots
+
+    robots = b"""
+User-agent: bot
+Disallow: /bot-only/
+
+User-agent: goodbot
+Disallow: /good/
+
+User-agent: *
+Disallow: /default/
+"""
+    # 'bot' is not a prefix of 'mygoodbot' -> the '*' group applies
+    assert parse_robots(robots, agent="MyGoodBot/2.0")["disallow"] == ["/default/"]
+    # prefix of the product token matches; version/comment stripped
+    assert parse_robots(robots, agent="GoodBot-News/1.0 (+https://x)")[
+        "disallow"] == ["/good/"]
+    # longest matching token wins over a shorter one
+    assert parse_robots(robots, agent="BotXYZ")["disallow"] == ["/bot-only/"]
+
+
 def test_robots_allows_longest_match():
     from go_trafilatura_spark.discovery import parse_robots, robots_allows
 
