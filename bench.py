@@ -32,6 +32,33 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 PARA_REPEAT = 6
 # Minimum page count for the timed run (rows are replicated up to this)
 TARGET_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "60000"))
+# 1-min load average below which the shared host counts as quiet (our
+# own Spark subprocesses have exited between sections, so ambient load
+# is co-tenant activity).
+QUIET_LOAD1 = float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "4.0"))
+
+_GATE_LOG: list[dict] = []
+
+
+def _wait_for_quiet(budget_sec: float, label: str) -> None:
+    """Window-immunity gate: the committed artifact keeps landing in
+    co-tenant-loaded minutes (VERDICT r3/r4 #1), so each timed section
+    waits — up to a bounded budget — for the 1-min load average to drop
+    below QUIET_LOAD1 before starting. The wait (and the load at go)
+    is recorded in the artifact's quiet_gate list, so a reader can see
+    whether a section ran gated-quiet or budget-expired-loaded."""
+    t0 = time.time()
+    while True:
+        load1 = os.getloadavg()[0]
+        if load1 <= QUIET_LOAD1 or (time.time() - t0) >= budget_sec:
+            _GATE_LOG.append({
+                "section": label,
+                "waited_sec": round(time.time() - t0, 1),
+                "load1_at_go": round(load1, 2),
+                "quiet": load1 <= QUIET_LOAD1,
+            })
+            return
+        time.sleep(15)
 
 
 def _worker(parallelism: int, target_docs: int | None = None) -> None:
@@ -105,10 +132,38 @@ def _worker(parallelism: int, target_docs: int | None = None) -> None:
         dt = time.time() - t0
         if best is None or dt < best[0]:
             best = (dt, extracted)
+
+    # CPU-time co-metric (window immunity, VERDICT r4 #1): one pass
+    # with the timed kernel summing per-batch worker process_time.
+    # Scheduler preemption by a co-tenant does not accrue CPU time, so
+    # this number survives a loaded window that sinks wall-clock.
+    cpu_sec = _kernel_cpu_sec(pages, opts, parallelism)
     print(json.dumps({"parallelism": parallelism, "docs": n,
                       "extracted": best[1], "sec": best[0],
-                      "docs_per_sec": n / best[0]}))
+                      "docs_per_sec": n / best[0],
+                      "kernel_cpu_sec": round(cpu_sec, 3),
+                      "kernel_cpu_docs_per_core_sec": round(n / cpu_sec, 1),
+                      "kernel_cpu_equiv_docs_per_sec":
+                          round(n / cpu_sec * parallelism, 1)}))
     spark.stop()
+
+
+def _kernel_cpu_sec(pages, opts, parallelism: int) -> float:
+    """Sum of per-batch worker process_time over one extraction pass
+    (cpu_ms is constant across the rows of a batch, so take one value
+    per (partition, batch))."""
+    from pyspark.sql import functions as F
+
+    from go_trafilatura_spark.pipeline import extract_pages_timed
+
+    timed = extract_pages_timed(pages, opts, num_partitions=parallelism)
+    per_batch = (
+        timed.withColumn("pid", F.spark_partition_id())
+        .groupBy("pid", "batch_id")
+        .agg(F.first("cpu_ms").alias("cpu_ms"))
+    )
+    row = per_batch.agg(F.sum("cpu_ms").alias("cpu_ms")).collect()[0]
+    return float(row["cpu_ms"]) / 1000.0
 
 
 def _control_pages(target_docs: int) -> list[bytes]:
@@ -243,8 +298,103 @@ def _realpage_throughput() -> dict | None:
             extract_pages(df, repartition=False).count()
             dt = time.time() - t0
             best = dt if best is None or dt < best else best
+        # CPU-time co-metric: per-core kernel pages/s from summed worker
+        # process_time (co-tenant preemption does not accrue), plus the
+        # all-core equivalent — what this host delivers when the wall
+        # clock isn't being sunk by a loaded window.
+        cpu_sec = _kernel_cpu_sec(df, None, CPUS)
         return {"docs": n, "sec": round(best, 3),
-                "docs_per_sec": round(n / best, 1)}
+                "docs_per_sec": round(n / best, 1),
+                "kernel_cpu_sec": round(cpu_sec, 3),
+                "kernel_cpu_docs_per_core_sec": round(n / cpu_sec, 1),
+                "kernel_cpu_equiv_docs_per_sec": round(n / cpu_sec * CPUS, 1)}
+    except Exception:
+        return None
+    finally:
+        spark.stop()
+
+
+def _dedup_pipeline() -> dict | None:
+    """End-to-end composed corpus pipeline wall time (VERDICT r4 #6):
+    extract → line_dedup → substring-dedup filter (hashed production
+    path, k=50) → gopher quality → host_cap → stratified sample, as ONE
+    lineage at SF_DIR scale. Per-op timings can hide composition
+    regressions (a lost broadcast, a re-executed common subtree); this
+    stage makes the composed wall time a first-class BENCH metric."""
+    sys.path.insert(0, REPO)
+    from pyspark.sql import functions as F
+
+    from go_trafilatura_spark import textops
+    from go_trafilatura_spark.pipeline import (
+        build_session, extract_pages, host_cap, salted_repartition,
+    )
+
+    spark = build_session(master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    try:
+        docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+        # One paragraph per doc (not PARA_REPEAT): self-repeated
+        # paragraphs would trip the gopher duplicate-line gate on every
+        # document and starve the downstream stages of rows. The
+        # synthetic word-salad alone fails the gopher gate for every doc
+        # (its vocabulary carries only one of the 8 must-have stopwords,
+        # and half the docs are under 50 tokens), which would let the
+        # downstream stages run over ~0 rows — so prepend a
+        # stopword-bearing lead sentence (13 tokens < k=50: no shared
+        # 50-gram for the substring stage, and distinct full lines for
+        # line_dedup) and keep only docs long enough to clear the
+        # 50-token minimum with it.
+        html = F.expr(
+            "encode(format_string('<html><head><title>Doc %1$s</title></head>"
+            '<body><article class="post-content"><h1>Doc %2$s</h1>'
+            "<p>The rows that we have to scan and count of all be here: "
+            "%3$s</p></article></body></html>', doc_id, doc_id, text), "
+            "'utf-8')"
+        )
+        pages = docs.where(F.size(F.split(F.trim("text"), r"\s+")) >= 45).select(
+            F.concat(F.lit("https://host"), (F.col("doc_id") % 500),
+                     F.lit(".example/doc/"), F.col("doc_id")).alias("url"),
+            F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+            html.alias("html"),
+            F.col("lang"),
+        )
+        pages = salted_repartition(pages, CPUS).persist()
+        n_in = pages.count()
+
+        t0 = time.time()
+        out = extract_pages(
+            pages, {"config": {"min_extracted_size": 0, "min_output_size": 0}},
+            repartition=False)
+        # ext and deduped each feed 2-3 downstream branches (substring
+        # filter, gopher, the final joins) — persist them so the Python
+        # extraction kernel and the line-dedup shuffle run ONCE, not
+        # once per branch. This is exactly the composition lesson this
+        # stage exists to keep honest.
+        ext = out.where(F.col("reject_reason").isNull()).select(
+            F.col("url").alias("doc_id"),
+            F.col("content_text").alias("text"), "lang").persist()
+        ld = textops.line_dedup(ext, text_col="text", id_col="doc_id")
+        deduped = ld.where(F.col("n_lines_kept") > 0).select(
+            "doc_id", F.col("text_deduped").alias("text")).persist()
+        ss_keep = (textops.substring_dedup_filter(
+                       deduped, k=50, hash_shingles=True)
+                   .where(F.col("keep") == 1).select("doc_id"))
+        gq_keep = (textops.gopher_quality_filter(deduped)
+                   .where(F.col("keep")).select("doc_id"))
+        kept = (deduped.join(ss_keep, "doc_id", "left_semi")
+                .join(gq_keep, "doc_id", "left_semi"))
+        capped = host_cap(
+            kept.select(F.col("doc_id").alias("url")), max_per_host=50
+        ).select(F.col("url").alias("doc_id"))
+        final = textops.stratified_sample(
+            kept.join(capped, "doc_id", "left_semi")
+            .join(ext.select("doc_id", "lang"), "doc_id"),
+            strata_col="lang", fraction=0.5)
+        n_out = final.count()
+        dt = time.time() - t0
+        ext.unpersist()
+        deduped.unpersist()
+        return {"docs_in": n_in, "docs_out": n_out, "sec": round(dt, 3),
+                "docs_per_sec": round(n_in / dt, 1)}
     except Exception:
         return None
     finally:
@@ -263,7 +413,7 @@ def _time_queries() -> dict:
         "extract_synth", "token_counts", "fingerprints", "exact_dedup",
         "minhash_signatures", "minhash_lsh_pairs", "simhash",
         "quality_scores", "lang_id", "ann_bruteforce", "ann_lsh",
-        "substring_dedup",
+        "substring_dedup", "gopher_quality", "line_dedup",
     )
     qs = entrymod.queries()
     for name in wanted:
@@ -316,29 +466,41 @@ def main() -> None:
     #   paired trials exist precisely to stop that.
     pair_lo_docs = max(TARGET_DOCS // 2, 10000)
     pair_hi_docs = TARGET_DOCS * 2  # ≥10 s timed at CPUS threads
+    _wait_for_quiet(180, "pair_2_to_8")
     n2 = _run_worker(2, pair_lo_docs, repeats=3)
     low_a = _run_worker(8, pair_lo_docs, repeats=3)
     efficiency_2_8 = (low_a["docs_per_sec"] / n2["docs_per_sec"]) / 4.0
+    # CPU-based twin: per-doc worker CPU at N vs 4N. Perfect scaling
+    # keeps per-doc CPU flat (ratio 1.0); real contention (memory bus)
+    # raises it at 4N; a co-tenant stealing cores barely moves it.
+    cpu_eff_2_8 = ((n2["kernel_cpu_sec"] / n2["docs"])
+                   / (low_a["kernel_cpu_sec"] / low_a["docs"]))
 
-    def paired_trials(n_lo, n_hi, docs, max_trials):
-        trials, best = [], None
+    def paired_trials(n_lo, n_hi, docs, max_trials, label):
+        trials, trials_cpu, best = [], [], None
         for i in range(max_trials):
             t_low = _run_worker_once(n_lo, docs)
             t_high = _run_worker_once(n_hi, docs)
             eff = (t_high["docs_per_sec"] / t_low["docs_per_sec"]) / (n_hi / n_lo)
             trials.append(round(eff, 3))
+            trials_cpu.append(round(
+                (t_low["kernel_cpu_sec"] / t_low["docs"])
+                / (t_high["kernel_cpu_sec"] / t_high["docs"]), 3))
             if best is None or eff > best[0]:
                 best = (eff, t_low, t_high)
             if len(trials) >= 2 and max(trials) >= 0.8:
                 break
             if i + 1 < max_trials:
-                # back off before retrying: ambient co-tenant spikes on
-                # the shared host are usually shorter than a minute
-                time.sleep(20)
-        return trials, best
+                # wait out the co-tenant spike before retrying (bounded)
+                _wait_for_quiet(90, f"{label}_trial{i + 2}")
+        return trials, trials_cpu, best
 
-    trials_416, _best416 = paired_trials(4, 16, TARGET_DOCS, 5)
-    trials, best_832 = paired_trials(8, CPUS, pair_hi_docs, 4)
+    _wait_for_quiet(180, "pair_4_to_16")
+    trials_416, trials_416_cpu, _best416 = paired_trials(
+        4, 16, TARGET_DOCS, 5, "pair_4_to_16")
+    _wait_for_quiet(120, "pair_8_to_32")
+    trials, trials_cpu_832, best_832 = paired_trials(
+        8, CPUS, pair_hi_docs, 4, "pair_8_to_32")
     efficiency = max(trials)
     _eff, low_b, high = best_832
 
@@ -350,7 +512,10 @@ def main() -> None:
     chi = _run_control(CPUS, pair_lo_docs)
     control_eff = (chi["docs_per_sec"] / c8["docs_per_sec"]) / (CPUS / 8)
 
+    _wait_for_quiet(120, "queries")
     queries = _time_queries()
+    dedup_pipeline = _dedup_pipeline()
+    _wait_for_quiet(180, "realpage")
     realpage = _realpage_throughput()
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
@@ -368,10 +533,14 @@ def main() -> None:
             "local[8]_docs_per_sec": round(low_b["docs_per_sec"], 1),
             f"local[{CPUS}]_docs_per_sec": round(high["docs_per_sec"], 1),
             "efficiency_2_to_8": round(efficiency_2_8, 3),
+            "cpu_efficiency_2_to_8": round(cpu_eff_2_8, 3),
             "efficiency_4_to_16": max(trials_416),
             "efficiency_4_to_16_trials": trials_416,
+            "cpu_efficiency_4_to_16": max(trials_416_cpu),
+            "cpu_efficiency_4_to_16_trials": trials_416_cpu,
             "efficiency_8_to_32": round(efficiency, 3),
             "efficiency_8_to_32_trials": trials,
+            "cpu_efficiency_8_to_32_trials": trials_cpu_832,
             "control_8_docs_per_sec": round(c8["docs_per_sec"], 1),
             f"control_{CPUS}_docs_per_sec": round(chi["docs_per_sec"], 1),
             "control_8_to_32": round(control_eff, 3),
@@ -379,6 +548,11 @@ def main() -> None:
     }
     if realpage:
         result["realpage"] = realpage
+    if dedup_pipeline:
+        result["dedup_pipeline"] = dedup_pipeline
+        result["dedup_pipeline_sec"] = dedup_pipeline["sec"]
+    result["quiet_gate"] = {"load1_threshold": QUIET_LOAD1,
+                            "sections": _GATE_LOG}
     result["loadavg_start"] = [round(x, 2) for x in loadavg_start]
     result["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
     print(json.dumps(result))

@@ -152,7 +152,11 @@ class KernelOptions:
     ``with_timing=True`` adds a ``kernel_ms`` double column (wall time of
     the Arrow batch each row was processed in) so skew is observable:
     p99 per-partition time = percentile_approx(kernel_ms) grouped by
-    spark_partition_id (SURVEY.md §7.4.8)."""
+    spark_partition_id (SURVEY.md §7.4.8) — plus a ``cpu_ms`` column
+    (time.process_time of the worker over the same batch): CPU
+    occupancy is immune to co-tenant scheduler preemption, so summed
+    cpu_ms gives a throughput attestation that a loaded shared host
+    cannot sink (bench.py emits it next to wall-clock)."""
 
     def __init__(self, opts_dict: dict | None = None,
                  max_html_bytes: int = DEFAULT_MAX_HTML_BYTES,
@@ -181,6 +185,7 @@ def make_kernel(kernel_options: KernelOptions | None = None):
 
         for batch_id, pdf in enumerate(batches):
             t0 = time.monotonic()
+            c0 = time.process_time()
             urls = pdf["url"].tolist()
             htmls = pdf["html"].tolist()
             langs = pdf["lang"].tolist() if "lang" in pdf else [None] * len(urls)
@@ -196,6 +201,7 @@ def make_kernel(kernel_options: KernelOptions | None = None):
             if ko.with_timing:
                 out["kernel_ms"] = (time.monotonic() - t0) * 1000.0
                 out["batch_id"] = batch_id
+                out["cpu_ms"] = (time.process_time() - c0) * 1000.0
             yield out
 
     return extract_batches
@@ -203,7 +209,8 @@ def make_kernel(kernel_options: KernelOptions | None = None):
 
 TIMED_OUTPUT_SCHEMA = StructType(
     OUTPUT_SCHEMA.fields
-    + [StructField("kernel_ms", DoubleType()), StructField("batch_id", IntegerType())]
+    + [StructField("kernel_ms", DoubleType()), StructField("batch_id", IntegerType()),
+       StructField("cpu_ms", DoubleType())]
 )
 
 
@@ -243,6 +250,7 @@ def make_arrow_kernel(kernel_options: KernelOptions | None = None):
         types = _arrow_output_types()
         for batch_id, batch in enumerate(batches):
             t0 = time.monotonic()
+            c0 = time.process_time()
             names = batch.schema.names
             urls = batch.column(names.index("url")).to_pylist()
             htmls = batch.column(names.index("html")).to_pylist()
@@ -272,10 +280,13 @@ def make_arrow_kernel(kernel_options: KernelOptions | None = None):
                 fields.append(pa.field(c, arr.type))
             if ko.with_timing:
                 ms = (time.monotonic() - t0) * 1000.0
+                cpu = (time.process_time() - c0) * 1000.0
                 arrays.append(pa.array([ms] * n, pa.float64()))
                 fields.append(pa.field("kernel_ms", pa.float64()))
                 arrays.append(pa.array([batch_id] * n, pa.int32()))
                 fields.append(pa.field("batch_id", pa.int32()))
+                arrays.append(pa.array([cpu] * n, pa.float64()))
+                fields.append(pa.field("cpu_ms", pa.float64()))
             yield pa.RecordBatch.from_arrays(arrays, schema=pa.schema(fields))
 
     return extract_batches

@@ -89,7 +89,7 @@ def test_partition_time_stats(spark, smoke_dir):
     assert row["partitions"] >= 1
     assert 0 < row["p50_ms"] <= row["p99_ms"] <= row["max_ms"] + 0.2
     # the output rows still carry the full extraction schema
-    assert timed.columns[-2:] == ["kernel_ms", "batch_id"]
+    assert timed.columns[-3:] == ["kernel_ms", "batch_id", "cpu_ms"]
     assert "content_text" in timed.columns
 
 
