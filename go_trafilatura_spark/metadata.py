@@ -1081,13 +1081,73 @@ _MOD_MARKER_KEYS = ("letzte", "zuletzt", "aktualisiert", "updated",
                     "jour", "actualizaci")
 
 
+_RX_DIGIT_RUN = stdlib_re.compile(r"\d+")
+
+
+def _digit_neighborhoods(s: str, margin: int = 24) -> str:
+    """Reduce a large blob to ±margin-char windows around every digit
+    run, joined by NUL — no supported date pattern matches across NUL.
+    Windows merge when they overlap OR when the text between them is
+    pure whitespace (matches may span arbitrarily long \\s+ runs —
+    "DOMINGO 8\\n<40 spaces>de mayo de 2022" is a real corpus case), so
+    this is candidate-exact for the pinned pattern set: every pattern's
+    match contains a digit, and its non-whitespace interior between /
+    beyond digit runs is ≤ ~19 chars (month name + de/del/di + ordinal
+    suffix + dots) < margin. Word-boundary contexts survive because
+    each window keeps ≥1 original char beyond any possible match edge.
+    Bails to the original text when windows cover most of it
+    (digit-dense blobs), so this is never slower than the direct scan
+    by more than the one \\d pass."""
+    spans: list[list[int]] = []
+    for m in _RX_DIGIT_RUN.finditer(s):
+        start = m.start()
+        a, b = start - margin, m.end() + margin
+        if a > 0 and s[a:start].isspace():
+            # Month-name prefixes ("May\n<30 ws>\n28 2006" — Wayback
+            # toolbar, real corpus case) sit past an arbitrarily long
+            # whitespace run: jump the run (bounded walk) and keep a
+            # margin of the content before it. Over-inclusion is safe —
+            # every included char exists in the original text.
+            k, limit = a, start - 4096
+            while k > limit and k > 0 and s[k - 1].isspace():
+                k -= 1
+            a = k - margin
+        if spans:
+            prev_end = spans[-1][1]
+            if a <= prev_end or s[prev_end:a].isspace():
+                if b > prev_end:
+                    spans[-1][1] = b
+                continue
+        spans.append([a if a > 0 else 0, b])
+    if not spans:
+        return ""
+    n = len(s)
+    total = sum(min(b, n) - a for a, b in spans)
+    if total * 10 >= n * 6:
+        return s
+    return "\x00".join(s[a:b] for a, b in spans)
+
+
 def _parse_date_string(s: str) -> str:
     """First VALID date in the string, trying patterns in priority
     order. A pattern hit that fails validation (e.g. a version number
     shaped like d/m/y with an out-of-range part) falls through to the
     pattern's later matches and then the next pattern — an invalid
-    candidate must not abort the scan."""
-    s = trim(s)
+    candidate must not abort the scan.
+
+    Large blobs (the bounded visible-text tiers pass up to 300 KB) are
+    reduced to digit neighborhoods instead of trimmed: one C-level \\d
+    scan replaces both the whitespace-collapse pass (~2 ms at 300 KB)
+    and up to six full-text regex passes, with an identical candidate
+    stream — whitespace collapse cannot create or destroy a candidate
+    (patterns either allow \\s+ runs or require adjacency, and collapse
+    preserves both) — see _digit_neighborhoods."""
+    if not s:
+        return ""
+    if len(s) > 4096:
+        s = _digit_neighborhoods(s)
+    else:
+        s = trim(s)
     # Every supported pattern needs digits; the expensive month-name
     # alternations additionally need a plausible year nearby.
     if not s or not any(ch.isdigit() for ch in s):
@@ -1271,7 +1331,18 @@ def _date_tier_candidates(doc: Element, url: str, extensive: bool,
                 break
 
     # Microdata on arbitrary elements (htmldate's itemprop scan is not
-    # limited to <time>); modified stamps feed the reserve.
+    # limited to <time>); modified stamps feed the reserve. With a
+    # TagIndex the date-classed CONTAINER scan (its tier slot is after
+    # jsonld/marker below) is FUSED into this same element pass — both
+    # tiers would otherwise walk every element; the tree is static, so
+    # computing the container candidate early and yielding it at its
+    # slot is observationally identical (index-less callers keep the
+    # two-loop form: their container scan walks body, not doc).
+    body = etree.body_of(doc)
+    fused = index is not None
+    container_hit = ""
+    container_done = not (fused and body is not None)
+    scanned = 0
     all_elements = (index.elements if index is not None
                     else etree.iter_descendants(doc))
     micro = ""
@@ -1279,20 +1350,48 @@ def _date_tier_candidates(doc: Element, url: str, extensive: bool,
         # No-parse prescreen: an element whose raw attribute substring
         # never mentions "itemprop" cannot carry the microdata key.
         raw = node._rawattrs
-        if raw is not None and "itemprop" not in raw:
+        if raw is None or "itemprop" in raw:
+            itemprop = node.attrib.get("itemprop") if node.attrib else None
+            if itemprop:
+                key = itemprop.lower()
+                if key in ("datepublished", "datecreated") and not micro:
+                    micro = _parse_date_string(
+                        node.get("content") or node.get("datetime"))
+                    if micro:
+                        yield "micro", micro
+                elif not reserve and key in ("datemodified", "dateupdate"):
+                    reserve = _parse_date_string(
+                        node.get("content") or node.get("datetime"))
+        if container_done:
             continue
-        itemprop = node.attrib.get("itemprop") if node.attrib else None
-        if not itemprop:
+        # -- fused date-classed container branch (tier yields below) --
+        raw = node._rawattrs
+        if raw is not None and "&" not in raw:
+            lraw = node._lraw
+            if lraw is None:
+                lraw = node._lraw = raw.lower()
+            if not ("date" in lraw or "time" in lraw or "post" in lraw
+                    or "entry" in lraw or "byline" in lraw
+                    or "publish" in lraw or "datum" in lraw
+                    or "submitted" in lraw or "created" in lraw):
+                continue
+        attrib = node.attrib
+        if not attrib or node.tag in ("script", "style"):
             continue
-        key = itemprop.lower()
-        if key in ("datepublished", "datecreated") and not micro:
-            micro = _parse_date_string(
-                node.get("content") or node.get("datetime"))
-            if micro:
-                yield "micro", micro
-        elif not reserve and key in ("datemodified", "dateupdate"):
-            reserve = _parse_date_string(
-                node.get("content") or node.get("datetime"))
+        idclass = attrib.get("class", "") + " " + attrib.get("id", "")
+        if len(idclass) > 1 and _RX_DATE_CLASS.search(
+                _RX_CAMEL_SPLIT.sub(" ", idclass)):
+            if _in_comment_area(node):
+                continue
+            blob = trim(etree.iter_text(node, " "))[:512]
+            date = _parse_date_string(blob)
+            if date:
+                container_hit = date
+                container_done = True
+                continue
+            scanned += 1
+            if scanned >= 200:
+                container_done = True
 
     # JSON-LD datePublished / dateCreated (dateModified as reserve)
     jsonld = ""
@@ -1312,7 +1411,6 @@ def _date_tier_candidates(doc: Element, url: str, extensive: bool,
 
     # Explicit publication announcements in visible text
     # ("Veroeffentlicht am 16.08.2019", "Publie le ...")
-    body = etree.body_of(doc)
     marker_text = ""
     marker_low = ""
     if body is not None:
@@ -1329,10 +1427,13 @@ def _date_tier_candidates(doc: Element, url: str, extensive: bool,
                     break
 
     # Date-classed visible containers (htmldate DATE_EXPRESSIONS).
-    if body is not None:
+    # Indexed path: result precomputed in the fused element pass above.
+    if fused:
+        if container_hit:
+            yield "container", container_hit
+    elif body is not None:
         scanned = 0
-        for node in (index.elements if index is not None
-                     else etree.iter_descendants(body)):
+        for node in etree.iter_descendants(body):
             # No-parse prescreen mirroring _RX_DATE_CLASS's literals
             # (camel-splitting only inserts spaces, so any rule match
             # implies one of these appears in the entity-free raw).
