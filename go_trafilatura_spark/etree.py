@@ -133,6 +133,9 @@ class Element:
         self.tail = ""
         self.children: list[Element] = []
         self.parent: Element | None = None
+        t = _TRACK_ELEMENTS
+        if t is not None:
+            t.append(self)
 
     @property
     def attrib(self) -> dict:
@@ -504,6 +507,36 @@ def next_element_sibling(el: Element) -> Element | None:
     return None
 
 
+# --- element-release machinery (kernel hot path) ---------------------------
+# Element trees are cyclic (parent <-> children), so a dropped tree is
+# invisible to refcounting and waits for the cycle collector — whose
+# mid-parse generational sweeps cost a measured 7-13% of kernel CPU,
+# and pruned/detached subtrees leak ~900 cyclic objects per page even
+# when the visible roots are walked. The kernel disables auto-GC per
+# batch and instead registers EVERY Element at creation (opt-in, one
+# list append) and flat-clears parent+children for all of them when the
+# row is done — no tree walks, robust to detachment/re-attachment, and
+# afterwards the whole row's garbage dies by pure refcounting.
+
+_TRACK_ELEMENTS: list | None = None
+
+
+def track_elements(lst: list | None) -> None:
+    """Install (or remove, with None) the list every new Element
+    appends itself to. Kernel-scoped: default off, so library callers
+    keep fully usable trees."""
+    global _TRACK_ELEMENTS
+    _TRACK_ELEMENTS = lst
+
+
+def release_elements(lst: list) -> None:
+    """Break the parent/children cycles of every tracked element. The
+    elements must not be used afterwards."""
+    for el in lst:
+        el.parent = None
+        el.children.clear()
+
+
 def clone(el: Element, deep: bool = True) -> Element:
     """dom.Clone — the clone is detached: no parent and no tail (in the
     DOM model a tail is a sibling text node and never travels with the
@@ -547,6 +580,9 @@ def _clone_with_tail(el: Element) -> Element:
         dup.children = cloned
     else:
         dup.children = []
+    t = _TRACK_ELEMENTS
+    if t is not None:
+        t.append(dup)
     return dup
 
 
@@ -689,35 +725,47 @@ def iter_text(node: Element, separator: str) -> str:
     if node is None:
         return ""
     buf: list[str] = []
+    append = buf.append
     last_level = 0
 
     # Emulate the DOM traversal: an element's text/child tails are text
-    # nodes one level below the element itself.
-    def finder(el: Element, level: int) -> None:
-        nonlocal last_level
-        if el.tag == COMMENT:
-            # Comment nodes emit nothing but still update the level tracker,
-            # exactly like the reference traversal.
+    # nodes one level below the element itself. Iterative (explicit
+    # stack) rather than a recursive closure: this is a hot path
+    # (~350k calls/960 pages as a closure), and a self-referencing
+    # closure is a reference cycle the kernel's explicit element
+    # release can't break. Stack items are (Element, level) to enter,
+    # or (tail_str, level) to emit at that level.
+    stack: list = [(node, 0)]
+    pop = stack.pop
+    while stack:
+        el, level = pop()
+        if type(el) is str:
+            # a child's tail, emitted at the child's level
+            if level != last_level:
+                append(separator)
+            append(el)
             last_level = level
-            return
-        if el.tag in VOID_ELEMENTS:
-            buf.append(separator)
+            continue
+        tag = el.tag
+        if tag == COMMENT:
+            # Comment nodes emit nothing but still update the level
+            # tracker, exactly like the reference traversal.
+            last_level = level
+            continue
+        if tag in VOID_ELEMENTS:
+            append(separator)
         last_level = level
         child_level = level + 1
         if el.text:
             if child_level != last_level:
-                buf.append(separator)
-            buf.append(el.text)
+                append(separator)
+            append(el.text)
             last_level = child_level
-        for child in el.children:
-            finder(child, child_level)
-            if child.tail:
-                if child_level != last_level:
-                    buf.append(separator)
-                buf.append(child.tail)
-                last_level = child_level
-
-    finder(node, 0)
+        for child in reversed(el.children):
+            t = child.tail
+            if t:
+                stack.append((t, child_level))
+            stack.append((child, child_level))
     return "".join(buf).strip()
 
 
@@ -1186,6 +1234,9 @@ class _TreeBuilder(HTMLParser):
                 el.tail = ""
                 el.children = []
                 el.parent = self.head
+                t = _TRACK_ELEMENTS
+                if t is not None:
+                    t.append(el)
                 self.head.children.append(el)
                 if (flags & _F_RAWHEAD) or not (flags & _F_VOID):
                     self.stack.append(el)
@@ -1249,6 +1300,9 @@ class _TreeBuilder(HTMLParser):
         el.text = ""
         el.tail = ""
         el.children = []
+        t = _TRACK_ELEMENTS
+        if t is not None:
+            t.append(el)
         if fostered:
             el.parent = None
             self._foster_insert(el)

@@ -85,13 +85,25 @@ def main() -> None:
                 extract_metadata(t, o)
 
     else:
+        import gc
+
         from go_trafilatura_spark.kernel import KernelOptions, _extract_row
 
         ko = KernelOptions()
 
         def run():
-            for url, html in pages:
-                _extract_row(url, None, html, None, ko)
+            # Mirror the kernel batch loop's GC regime (auto-GC off,
+            # periodic gen0 collect; rows release their element cycles
+            # explicitly) so this number reflects the shipped kernel.
+            gc.disable()
+            try:
+                for i, (url, html) in enumerate(pages):
+                    _extract_row(url, None, html, None, ko)
+                    if i % 200 == 199:
+                        gc.collect(0)
+                gc.collect(0)
+            finally:
+                gc.enable()
 
     run()  # warm
     d = best_of(run)
