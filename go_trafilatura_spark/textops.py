@@ -179,7 +179,7 @@ def minhash_signatures(df: DataFrame, k_shingle: int = 3) -> DataFrame:
 
 def minhash_lsh_pairs(df: DataFrame, k_shingle: int = 3,
                       max_band_df: int = 100,
-                      persist_bands: bool = True) -> DataFrame:
+                      persist_bands: bool | None = None) -> DataFrame:
     """Candidate near-duplicate pairs via LSH banding (2 bands × 2 rows):
     docs agreeing on a full band are candidates. Equi-join on band keys —
     no O(n²) comparison ever materializes.
@@ -195,29 +195,65 @@ def minhash_lsh_pairs(df: DataFrame, k_shingle: int = 3,
     much cheaper exact_dedup_flags / fingerprint pass already handles —
     LSH exists to find the *sparse* near-duplicate pairs.
 
-    The band frame is **persisted** before the per-band fan-out
-    (``persist_bands``): each band branch plus its hot-key subquery
-    re-reads the cached bands instead of re-running the signature
+    The band frame is **persisted** before the fan-out
+    (``persist_bands``): the hot-key subquery and both self-join sides
+    re-read the cached bands instead of re-running the signature
     aggregation — the shingle explode + groupBy (the most expensive
     stage of the whole dedup at 100 TB) executes exactly once. The
-    cache is MEMORY_AND_DISK (one short row per doc — the reduced
+    cache is MEMORY_AND_DISK (two short rows per doc — the reduced
     side, never the shingles) and is released by Spark's ContextCleaner
     when the result's lineage is dropped; dedup_clusters unpersists it
-    explicitly after checkpointing the edge list."""
+    explicitly after checkpointing the edge list.
+
+    ``persist_bands=None`` (default) decides from the optimizer's input
+    size estimate: the cache materialization is a stage barrier worth
+    ~3 s of constant overhead in local mode, which only pays for itself
+    once the signature aggregation is expensive — measured crossover
+    ~64 MB of input text (~25k web docs). Unknown statistics (Spark's
+    Long.Max default) choose the cache: at 100 TB the recompute, not
+    the barrier, is the catastrophe."""
     pairs, _ = _minhash_lsh_pairs_impl(df, k_shingle, max_band_df, persist_bands)
     return pairs
 
 
+_PERSIST_BANDS_MIN_BYTES = 64 * 1024 * 1024
+
+
+def _should_persist_bands(df: DataFrame) -> bool:
+    try:
+        raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        # py4j hands small BigIntegers back as Python ints; huge ones
+        # (Spark's 8 EiB "unknown" default) stay JavaObjects
+        size = int(raw.toString()) if hasattr(raw, "toString") else int(raw)
+    except Exception:
+        return True  # cannot estimate → the scale-safe side
+    return size > _PERSIST_BANDS_MIN_BYTES
+
+
 def _minhash_lsh_pairs_impl(df: DataFrame, k_shingle: int, max_band_df: int,
-                            persist_bands: bool):
+                            persist_bands: bool | None):
     """Implementation returning (pairs, persisted_bands_handle_or_None)
     so callers that materialize downstream (dedup_clusters) can
     unpersist deterministically."""
+    if persist_bands is None:
+        persist_bands = _should_persist_bands(df)
     sigs = minhash_signatures(df, k_shingle)
+    # Long format: one row per (doc, band) — the two bands are a
+    # band_idx dimension instead of two lineage branches, so every
+    # downstream consumer (hot-key count, anti-join, both self-join
+    # sides) reads ONE frame. With persist_bands that is one cache
+    # materialization + three cache reads (instead of six across two
+    # branches); without it, the signature lineage fans out three
+    # ways instead of six. Hot-key counting and the candidate join key
+    # both include band_idx, so per-band semantics are unchanged.
     bands = sigs.select(
         "doc_id",
-        F.concat_ws("_", F.col("sig0"), F.col("sig1")).alias("band0"),
-        F.concat_ws("_", F.col("sig2"), F.col("sig3")).alias("band1"),
+        F.posexplode(
+            F.array(
+                F.concat_ws("_", F.col("sig0"), F.col("sig1")),
+                F.concat_ws("_", F.col("sig2"), F.col("sig3")),
+            )
+        ).alias("band_idx", "key"),
     )
     handle = None
     if persist_bands:
@@ -225,21 +261,22 @@ def _minhash_lsh_pairs_impl(df: DataFrame, k_shingle: int, max_band_df: int,
 
         bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
         handle = bands
-    pairs = None
-    for band in ("band0", "band1"):
-        keyed = bands.select(F.col("doc_id").alias("doc_id"), F.col(band).alias("key"))
-        hot = (
-            keyed.groupBy("key")
-            .agg(F.count("*").alias("band_df"))
-            .where(F.col("band_df") > max_band_df)
-            .select("key")
-        )
-        kept = keyed.join(F.broadcast(hot), "key", "left_anti")
-        a = kept.select(F.col("doc_id").alias("doc_a"), "key")
-        b = kept.select(F.col("doc_id").alias("doc_b"), "key")
-        p = a.join(b, "key").where(F.col("doc_a") < F.col("doc_b")).select("doc_a", "doc_b")
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs.distinct(), handle
+    hot = (
+        bands.groupBy("band_idx", "key")
+        .agg(F.count("*").alias("band_df"))
+        .where(F.col("band_df") > max_band_df)
+        .select("band_idx", "key")
+    )
+    kept = bands.join(F.broadcast(hot), ["band_idx", "key"], "left_anti")
+    a = kept.select(F.col("doc_id").alias("doc_a"), "band_idx", "key")
+    b = kept.select(F.col("doc_id").alias("doc_b"), "band_idx", "key")
+    pairs = (
+        a.join(b, ["band_idx", "key"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    return pairs, handle
 
 
 def dedup_clusters(df: DataFrame, k_shingle: int = 3, max_iter: int = 15,

@@ -663,16 +663,28 @@ def test_projection_ops_plan_exchange_free(spark, op):
     assert "Exchange" not in plan, f"{op} gained a shuffle:\n{plan}"
 
 
-def test_lsh_bands_cached_single_shingle_pass(spark):
-    """minhash_lsh_pairs persists the band frame: every band branch and
-    hot-key subquery must read the cache (InMemoryTableScan), so the
-    shingle explode + signature aggregation — the dominant cost at
-    100 TB — executes once, not once per branch."""
+def test_lsh_bands_cached_single_shingle_pass(spark, tmp_path):
+    """minhash_lsh_pairs with persist_bands=True caches the band frame:
+    the hot-key subquery and both self-join sides must read the cache
+    (InMemoryTableScan), so the shingle explode + signature aggregation
+    — the dominant cost at 100 TB — executes once, not once per
+    consumer. The adaptive default picks the cache only above the
+    measured input-size crossover (cache barrier vs recompute), falling
+    back to the cache when statistics are unknown."""
     from go_trafilatura_spark import textops
 
     rows = [(i, f"alpha beta gamma delta epsilon zeta eta theta w{i % 5} x")
             for i in range(30)]
     df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # adaptive default: a Python-created local frame has UNKNOWN size
+    # statistics (Spark's 8 EiB default), which must choose the
+    # scale-safe side (cache); a small parquet scan has real statistics
+    # and must skip the cache barrier
+    assert textops._should_persist_bands(df) is True
+    pq = str(tmp_path / "small.parquet")
+    df.write.mode("overwrite").parquet(pq)
+    assert textops._should_persist_bands(spark.read.parquet(pq)) is False
 
     # opt-out first: once persist() registers the bands plan in the
     # cache manager, ANY identical plan would be substituted with the
@@ -682,7 +694,7 @@ def test_lsh_bands_cached_single_shingle_pass(spark):
     assert "InMemoryTableScan" not in noplan
     expected = sorted(map(tuple, nocache.collect()))
 
-    pairs = textops.minhash_lsh_pairs(df)
+    pairs = textops.minhash_lsh_pairs(df, persist_bands=True)
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert plan.count("InMemoryTableScan") >= 2, plan
     assert sorted(map(tuple, pairs.collect())) == expected
