@@ -524,8 +524,23 @@ _TRACK_ELEMENTS: list | None = None
 def track_elements(lst: list | None) -> None:
     """Install (or remove, with None) the list every new Element
     appends itself to. Kernel-scoped: default off, so library callers
-    keep fully usable trees."""
+    keep fully usable trees.
+
+    NOT re-entrant and process-global: exactly one extraction may track
+    at a time. Two concurrent trackers in one process would register
+    elements into the wrong list, and ``release_elements`` would then
+    flat-clear live trees of the other extraction. This is safe under
+    Spark's worker model (one task per worker process, the kernel loop
+    is single-threaded); library users driving extraction from threads
+    must serialize calls or leave tracking off. Installing over an
+    already-installed tracker raises rather than silently corrupting
+    both extractions."""
     global _TRACK_ELEMENTS
+    if lst is not None and _TRACK_ELEMENTS is not None:
+        raise RuntimeError(
+            "track_elements: a tracker is already installed — element "
+            "tracking is process-global and single-extraction; nested or "
+            "concurrent tracked extractions are not supported")
     _TRACK_ELEMENTS = lst
 
 

@@ -432,3 +432,81 @@ def eval_metrics(scored: DataFrame) -> DataFrame:
         F.sum("comments_match").alias("comments_matches"),
         F.avg("text_match").alias("text_match_rate"),
     )
+
+
+def corpus_dedup_pipeline(
+    ext: DataFrame,
+    *,
+    url_col: str | None = "url",
+    k_substring: int = 50,
+    max_per_host: int = 50,
+    sample_fraction: float = 0.5,
+    strata_col: str = "lang",
+) -> tuple[DataFrame, list[DataFrame]]:
+    """The composed corpus pipeline over an *extracted* documents frame
+    (``doc_id``, ``text``, ``strata_col`` [, ``url_col``]):
+
+        line_dedup → substring-dedup filter (hashed production path,
+        k=``k_substring``) → gopher quality → per-host cap →
+        stratified sample
+
+    as ONE lineage — the training-data curation pass a crawl corpus
+    goes through after extraction. Shared by ``bench.py``'s
+    dedup_pipeline section and ``jobs/dedup_job.py --stage all`` so the
+    attested composition and the spark-submit job run the same plan.
+
+    Persist structure (the composition lesson measured in round 5 —
+    a frame feeding two consumers inside one action executes its
+    lineage twice, 47 s → 15 s at sf0.1 for the final stage):
+
+    - ``deduped`` (line-level dedup output) feeds the substring filter,
+      the gopher filter, and the kept-join — persisted.
+    - ``kept`` (both quality semi-joins applied) feeds the host_cap
+      input and the final join, and its lineage contains the
+      substring-dedup shingle join — persisted.
+    - ``ext`` itself feeds line_dedup and the final strata join; the
+      CALLER decides whether to persist it (bench does — its lineage
+      holds the Python extraction kernel; a parquet-scan caller like
+      dedup_job leaves it unpersisted so 100 TB is never cached).
+
+    ``url_col=None`` skips the host-cap stage (inputs without a url);
+    ``url_col == "doc_id"`` caps directly on the id (the bench's
+    synthetic corpus, where the doc_id IS the url).
+
+    Returns ``(final, handles)``: materialize ``final`` (count/write),
+    then unpersist each handle.
+    """
+    from . import textops
+
+    ld = textops.line_dedup(ext, text_col="text", id_col="doc_id")
+    deduped = ld.where(F.col("n_lines_kept") > 0).select(
+        "doc_id", F.col("text_deduped").alias("text")).persist()
+    ss_keep = (textops.substring_dedup_filter(
+                   deduped, k=k_substring, hash_shingles=True)
+               .where(F.col("keep") == 1).select("doc_id"))
+    gq_keep = (textops.gopher_quality_filter(deduped)
+               .where(F.col("keep")).select("doc_id"))
+    kept = (deduped.join(ss_keep, "doc_id", "left_semi")
+            .join(gq_keep, "doc_id", "left_semi")).persist()
+
+    if url_col is None:
+        capped_kept = kept
+    elif url_col == "doc_id":
+        capped = host_cap(
+            kept.select(F.col("doc_id").alias("url")),
+            max_per_host=max_per_host,
+        ).select(F.col("url").alias("doc_id"))
+        capped_kept = kept.join(capped, "doc_id", "left_semi")
+    else:
+        urls = ext.select("doc_id", F.col(url_col).alias("url"))
+        capped = host_cap(
+            kept.join(urls, "doc_id").select("url"),
+            max_per_host=max_per_host,
+        ).select("url")
+        capped_ids = urls.join(capped, "url", "left_semi").select("doc_id")
+        capped_kept = kept.join(capped_ids, "doc_id", "left_semi")
+
+    final = textops.stratified_sample(
+        capped_kept.join(ext.select("doc_id", strata_col), "doc_id"),
+        strata_col=strata_col, fraction=sample_fraction)
+    return final, [deduped, kept]

@@ -205,6 +205,17 @@ def minhash_lsh_pairs(df: DataFrame, k_shingle: int = 3,
     when the result's lineage is dropped; dedup_clusters unpersists it
     explicitly after checkpointing the edge list.
 
+    Cache lifetime for direct callers: this convenience wrapper drops
+    the persist handle, so the cached band frame lives until the
+    ContextCleaner collects the result's lineage — fine for a
+    run-and-exit job, but repeated direct calls in a long-lived session
+    accumulate cached frames. Long-lived sessions should either go
+    through ``dedup_clusters`` (which unpersists deterministically once
+    the edge list is checkpointed), call
+    ``_minhash_lsh_pairs_impl(...)`` and unpersist the returned handle
+    after materializing the pairs, or pass ``persist_bands=False`` and
+    accept the recompute.
+
     ``persist_bands=None`` (default) decides from the optimizer's input
     size estimate: the cache materialization is a stage barrier worth
     ~3 s of constant overhead in local mode, which only pays for itself

@@ -22,6 +22,14 @@ corpus-level stage from textops, and writes parquet:
             hashed-shingle production path (xxhash64 shuffle keys).
 - quality:  Gopher repetition signals + acceptance flags + unigram-LM
             scores joined per document (projection + one broadcast join)
+- all:      the composed corpus pipeline (line_dedup → substring-dedup
+            filter, hashed, k=--k-substring → gopher quality →
+            per-host cap → stratified sample) as ONE lineage — the
+            same pipeline.corpus_dedup_pipeline bench.py attests, with
+            the same persist structure. --url-col auto uses the input's
+            `url` column for the host cap when present and skips the
+            cap otherwise; --max-per-host / --sample-fraction /
+            --strata-col parameterize the tail stages.
 
 Prints one JSON metrics line on completion.
 """
@@ -38,7 +46,8 @@ def main() -> int:
     parser.add_argument("--input", required=True)
     parser.add_argument("--output", required=True)
     parser.add_argument("--stage", default="exact",
-                        choices=("exact", "minhash", "clusters", "substring", "quality"))
+                        choices=("exact", "minhash", "clusters", "substring",
+                                 "quality", "all"))
     parser.add_argument("--partitions", type=int, default=256)
     parser.add_argument("--k-shingle", type=int, default=3,
                         help="minhash/clusters shingle size")
@@ -46,6 +55,14 @@ def main() -> int:
                         help="substring-dedup window size (Lee et al. 2022 "
                              "uses ~50 tokens)")
     parser.add_argument("--checkpoint-dir", default=None)
+    parser.add_argument("--url-col", default="auto",
+                        help="--stage all: column holding the document "
+                             "url for the per-host cap; 'auto' uses "
+                             "'url' when the input has one, 'none' "
+                             "skips the host-cap stage")
+    parser.add_argument("--max-per-host", type=int, default=50)
+    parser.add_argument("--sample-fraction", type=float, default=0.5)
+    parser.add_argument("--strata-col", default="lang")
     args = parser.parse_args()
 
     from pyspark.sql import SparkSession, functions as F
@@ -72,6 +89,23 @@ def main() -> int:
     elif args.stage == "substring":
         out = textops.substring_dedup_filter(docs, k=args.k_substring,
                                              hash_shingles=True)
+    elif args.stage == "all":
+        from go_trafilatura_spark.pipeline import corpus_dedup_pipeline
+
+        url_col = args.url_col
+        if url_col == "auto":
+            url_col = "url" if "url" in docs.columns else None
+        elif url_col == "none":
+            url_col = None
+        # The input here is a columnar table scan — NOT persisted
+        # (persisting 100 TB of source text would be the bug); the
+        # pipeline's internal reduction frames are persisted inside
+        # corpus_dedup_pipeline, same structure the bench attests.
+        out, handles = corpus_dedup_pipeline(
+            docs, url_col=url_col, k_substring=args.k_substring,
+            max_per_host=args.max_per_host,
+            sample_fraction=args.sample_fraction,
+            strata_col=args.strata_col)
     else:  # quality
         rep = textops.gopher_repetition(docs)
         qual = textops.gopher_quality_filter(docs).select(
@@ -85,8 +119,14 @@ def main() -> int:
     obs = Observation("dedup_metrics")
     observed = out.observe(obs, F.count(F.lit(1)).alias("rows"))
     observed.write.mode("overwrite").parquet(args.output)
-    print(json.dumps({"stage": args.stage, "rows": int(obs.get["rows"]),
-                      "output": args.output}))
+    metrics = {"stage": args.stage, "rows": int(obs.get["rows"]),
+               "output": args.output}
+    if args.stage == "all":
+        for h in handles:
+            h.unpersist()
+        metrics["docs_in"] = docs.count()
+        metrics["docs_out"] = metrics["rows"]
+    print(json.dumps(metrics))
     spark.stop()
     return 0
 

@@ -204,3 +204,102 @@ def test_date_url_first_flag():
     url = "https://ex.com/2021/05/12/some-post/"
     assert extract_date_fast(d, url) == "2021-05-12"
     assert extract_date_fast(d, url, url_first=False) == "2021-05-10"
+
+
+# ---------------------------------------------------------------------------
+# _digit_neighborhoods margin invariant (ADVICE r5): the window-scan
+# reduction is candidate-exact only while every supported pattern's
+# non-whitespace interior stays under the margin. These tests make a
+# new/changed pattern fail LOUDLY instead of diverging silently on the
+# >4096-char blob path.
+# ---------------------------------------------------------------------------
+
+
+def test_digit_neighborhood_pattern_set_pinned():
+    """The margin analysis below covers exactly the patterns
+    _parse_date_string scans. Adding a finditer pattern to the cascade
+    MUST fail here until the margin invariant is re-verified (and the
+    adversarial corpus below extended)."""
+    import inspect
+    import re
+
+    from go_trafilatura_spark import metadata
+
+    src = inspect.getsource(metadata._parse_date_string)
+    used = set(re.findall(r"(_RX_\w+)\.finditer", src))
+    assert used == {
+        "_RX_ISO_DATE", "_RX_DMY_DATE", "_RX_MDY_DATE", "_RX_MDY_NAME",
+        "_RX_DMY_NAME", "_RX_CJK_DATE", "_RX_DMY2_DATE",
+    }, ("_parse_date_string's pattern set changed — re-verify the "
+        "_digit_neighborhoods margin invariant (non-ws interior < 24, "
+        "no NUL-matching construct, no >4096-char whitespace jump) and "
+        "update this pin + the adversarial corpus.")
+
+
+def test_digit_neighborhood_margin_bound():
+    """Numeric margin invariant: every pattern's largest possible
+    non-whitespace run (measured from a digit) fits inside the ±24-char
+    window, and no pattern source contains a construct that could match
+    across the NUL window separator or a >4096-char whitespace gap."""
+    from go_trafilatura_spark import metadata
+
+    margin = 24
+    # Longest month name + worst decoration ("de "/"del " prefix, "."
+    # abbreviation dot, ordinal suffix, comma) — the name patterns'
+    # largest non-ws stretch adjacent to a digit run.
+    longest_month = max(len(m) for m in metadata._MONTHS)
+    assert longest_month + len("del ") + len("th,.") < margin
+    # Fixed-width numeric patterns: widest full matches.
+    for probe in ("9999-99-99", "99.99.9999", "99/99/9999", "99.99.99",
+                  "9999年99月99日"):
+        assert len(probe) < margin
+    # No pattern may match across NUL (the window join byte) or rely on
+    # whitespace runs longer than the 4096-char bounded back-walk:
+    # \D, ., [^...] classes and explicit \x00 would all do the former.
+    for name in ("_RX_ISO_DATE", "_RX_DMY_DATE", "_RX_MDY_DATE",
+                 "_RX_MDY_NAME", "_RX_DMY_NAME", "_RX_CJK_DATE",
+                 "_RX_DMY2_DATE"):
+        pat = getattr(metadata, name).pattern
+        assert "\\D" not in pat, name
+        assert "\x00" not in pat and "\\x00" not in pat, name
+        assert "[^" not in pat, name
+        # a bare unescaped/unbracketed '.' matches NUL; every '.' in
+        # these patterns must be escaped (literal dot)
+        stripped = pat.replace("\\.", "")
+        assert "." not in stripped, (
+            f"{name} contains an unescaped '.' — it would match across "
+            "the NUL window separator")
+
+
+def test_digit_neighborhood_padded_parity_all_months():
+    """Empirical candidate-exactness: every month name × every
+    decoration shape parses identically on the bare string and embedded
+    in a >4096-char digit-free blob (the _digit_neighborhoods path),
+    including arbitrarily long whitespace runs inside the match."""
+    from go_trafilatura_spark import metadata
+
+    filler = ("lorem ipsum dolor sit amet consectetur adipiscing elit " * 60
+              + "\n\n" + " " * 64 + "sed do eiusmod tempor incididunt ut "
+              + "labore et dolore magna aliqua " * 60)
+    assert len(filler) > 4096 and not any(c.isdigit() for c in filler)
+
+    cases = []
+    for month in metadata._MONTHS:
+        cases.append(f"28 de {month} de 2006")   # DMY with particles
+        cases.append(f"{month} 28, 2006")         # MDY name
+        cases.append(f"28. {month} 2006")         # German ordinal-dot
+    cases += [
+        "2021-11-09T12:00:00",
+        "Veröffentlicht am 3.2.2019",
+        "14/01/2020",
+        "2019年6月24日",
+        "am 03.02.19 um",
+        # real-corpus whitespace-jump shapes (Wayback toolbar et al.)
+        "DOMINGO 8\n" + " " * 40 + "de mayo de 2022",
+        "May\n" + " " * 30 + "\n28 2006",
+    ]
+    for s in cases:
+        bare = metadata._parse_date_string(s)
+        assert bare != "", s
+        blob = filler + "\n" + s + "\n" + filler
+        assert metadata._parse_date_string(blob) == bare, s

@@ -1435,3 +1435,134 @@ def test_host_cap_hot_host_bounded_state(spark):
         ("cold.org", "https://cold.org/x"),
         ("tiny.net", "https://tiny.net/only"),
     }
+
+
+# ---------------------------------------------------------------------------
+# Composed corpus pipeline (pipeline.corpus_dedup_pipeline) — the shared
+# function behind bench.py's dedup_pipeline section and
+# jobs/dedup_job.py --stage all (VERDICT r5 #7).
+# ---------------------------------------------------------------------------
+
+
+def _curation_docs():
+    """12 docs that pass every pipeline gate except the host cap: one
+    distinct line each (line_dedup keeps all), ≥50 tokens with ≥2
+    must-have stopwords and sane word lengths (gopher passes), no
+    shared 50-token window (substring dedup keeps all), 3 hosts × 4
+    docs (host cap at 2 keeps the lexicographically-first 2 per host)."""
+    rows = []
+    for i in range(12):
+        words = [f"word{i}n{j}" for j in range(55)]
+        text = (f"the story of number {i} continues and that chapter "
+                f"will have more with it than before " + " ".join(words))
+        rows.append((f"doc{i:02d}", text, "en", f"https://h{i % 3}.example/d{i:02d}"))
+    return rows
+
+
+def test_corpus_dedup_pipeline_function(spark):
+    """Differential vs the hand-computed expectation: with all quality
+    gates passing, the composed pipeline reduces exactly to the host
+    cap (first 2 urls per host) + the deterministic sample (fraction
+    1.0 = keep all)."""
+    from go_trafilatura_spark.pipeline import corpus_dedup_pipeline
+
+    ext = spark.createDataFrame(
+        _curation_docs(), "doc_id string, text string, lang string, url string")
+    final, handles = corpus_dedup_pipeline(
+        ext, url_col="url", k_substring=50, max_per_host=2,
+        sample_fraction=1.0, strata_col="lang")
+    got = {r["doc_id"] for r in final.collect()}
+    # host h0 has d00,d03,d06,d09 → keep d00,d03; h1 → d01,d04; h2 → d02,d05
+    assert got == {"doc00", "doc03", "doc01", "doc04", "doc02", "doc05"}
+    # the persist structure is part of the contract (the measured r5
+    # composition lesson): both internal frames come back persisted
+    # for the caller to release
+    assert len(handles) == 2
+    for h in handles:
+        assert h.is_cached
+        h.unpersist()
+
+
+def test_corpus_dedup_pipeline_no_url(spark):
+    """url_col=None skips the host cap: every gate-passing doc survives
+    into the sample."""
+    from go_trafilatura_spark.pipeline import corpus_dedup_pipeline
+
+    ext = spark.createDataFrame(
+        [(d, t, l) for d, t, l, _ in _curation_docs()],
+        "doc_id string, text string, lang string")
+    final, handles = corpus_dedup_pipeline(
+        ext, url_col=None, k_substring=50, sample_fraction=1.0)
+    assert final.count() == 12
+    for h in handles:
+        h.unpersist()
+
+
+def test_dedup_job_stage_all(smoke_dir):
+    """spark-submit smoke for the composed pipeline job: the SAME
+    composition bench.py attests, end-to-end through the --py-files
+    deployment path, with a deterministic expected row count."""
+    import json
+    import subprocess
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from go_trafilatura_spark.package_zip import build_zip
+
+    zip_path = build_zip()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tmp = tempfile.mkdtemp(prefix="gts_dedup_all_")
+    try:
+        rows = _curation_docs()
+        tbl = pa.table({
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": [r[2] for r in rows],
+            "url": [r[3] for r in rows],
+        })
+        in_path = os.path.join(tmp, "docs.parquet")
+        pq.write_table(tbl, in_path)
+        out_dir = os.path.join(tmp, "out")
+        proc = subprocess.run(
+            [
+                "spark-submit", "--master", "local[2]",
+                "--py-files", zip_path,
+                os.path.join(repo, "jobs", "dedup_job.py"),
+                "--input", in_path,
+                "--output", out_dir,
+                "--stage", "all",
+                "--max-per-host", "2",
+                "--sample-fraction", "1.0",
+                "--partitions", "4",
+            ],
+            capture_output=True, text=True, timeout=300, cwd=repo,
+        )
+        assert proc.returncode == 0, proc.stderr[-2000:]
+        line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+        stats = json.loads(line)
+        assert stats["stage"] == "all"
+        assert stats["docs_in"] == 12
+        assert stats["rows"] == 6  # host cap 2 × 3 hosts, sample keeps all
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_track_elements_reentrancy_guard():
+    """etree element tracking is process-global and single-extraction:
+    installing a second tracker over a live one must raise instead of
+    silently cross-registering elements (ADVICE r5)."""
+    import pytest as _pytest
+
+    from go_trafilatura_spark import etree as _etree
+
+    lst: list = []
+    _etree.track_elements(lst)
+    try:
+        with _pytest.raises(RuntimeError):
+            _etree.track_elements([])
+    finally:
+        _etree.track_elements(None)
+    # uninstall → reinstall is fine
+    _etree.track_elements(lst)
+    _etree.track_elements(None)
