@@ -83,22 +83,103 @@ def _on_term(signum, frame):
     os._exit(1)
 
 
+# Canary floor: single-thread kernel CPU pages/s on the fixed synthetic
+# workload below. Healthy quiet-window band measured r4-r6: ~1,800-2,100;
+# a hypervisor-level storm halves it (round-6 run A: every guest gate
+# read load1 ≤ 2 "quiet" while the canary-equivalent per-core number ran
+# at 0.5× for 45 minutes — KVM steal and co-tenant memory-bandwidth
+# pressure are INVISIBLE to guest loadavg AND inflate guest
+# process_time, so only running the actual kernel detects them).
+CANARY_MIN = float(os.environ.get("SPARK_GRAFT_CANARY_MIN", "950"))
+_CANARY_PAGES: list | None = None
+
+
+def _canary_pages_per_cpu_sec() -> float | None:
+    """Direct window-quality probe: extract ~300 fixed synthetic pages
+    single-thread (~0.2 s healthy) and return pages per CPU-second.
+    Measures exactly what the timed sections measure — any contention
+    that would sink them (steal, memory bandwidth, DVFS droop) sinks
+    the canary identically, regardless of whether the guest can name
+    the cause. Median of 3 passes (~1 s total): single 0.3 s passes
+    scatter ±25% under bursty co-tenancy (measured 627-991 within
+    seconds); the median discriminates a sustained storm from a burst.
+    Calibration (this host, measured against the 100-real-page probe):
+    healthy window ≈ 1,100-1,300, storm ≈ 500-700; CANARY_MIN=950."""
+    global _CANARY_PAGES
+    try:
+        sys.path.insert(0, REPO)
+        from go_trafilatura_spark.core import extract
+        from go_trafilatura_spark.options import Options
+
+        if _CANARY_PAGES is None:
+            _CANARY_PAGES = _control_pages(1)[:300]
+            # warm-up: regex compile + import costs stay out of trials
+            opts = Options.from_dict(
+                {"url": "https://synth.local/canary",
+                 "config": {"min_extracted_size": 0, "min_output_size": 0}})
+            for html in _CANARY_PAGES[:30]:
+                extract(html, opts)
+        rates = []
+        for _ in range(3):
+            t0 = time.process_time()
+            for html in _CANARY_PAGES:
+                opts = Options.from_dict(
+                    {"url": "https://synth.local/canary",
+                     "config": {"min_extracted_size": 0,
+                                "min_output_size": 0}})
+                extract(html, opts)
+            cpu = time.process_time() - t0
+            if cpu > 0:
+                rates.append(len(_CANARY_PAGES) / cpu)
+        return sorted(rates)[len(rates) // 2] if rates else None
+    except Exception:
+        return None
+
+
+def _steal_pct(interval: float = 0.5) -> float | None:
+    """KVM steal share of total CPU over a short window (/proc/stat
+    field 8) — free corroborating evidence when the canary is low."""
+    def read():
+        with open("/proc/stat") as f:
+            vals = list(map(int, f.readline().split()[1:9]))
+        return vals[7], sum(vals)
+    try:
+        s0, t0 = read()
+        time.sleep(interval)
+        s1, t1 = read()
+        return round(100.0 * (s1 - s0) / max(t1 - t0, 1), 2)
+    except Exception:
+        return None
+
+
 def _wait_for_quiet(budget_sec: float, label: str) -> None:
     """Window-immunity gate: the committed artifact keeps landing in
     co-tenant-loaded minutes (VERDICT r3/r4 #1), so each timed section
-    waits — up to a bounded budget — for the 1-min load average to drop
-    below QUIET_LOAD1 before starting. The wait (and the load at go)
-    is recorded in the artifact's quiet_gate list, so a reader can see
+    waits — up to a bounded budget — for BOTH the 1-min load average to
+    drop below QUIET_LOAD1 AND the kernel canary to clear CANARY_MIN
+    before starting. loadavg catches in-guest noise; the canary catches
+    hypervisor-level contention the guest cannot otherwise see (round-6
+    run A). The wait, the load, the canary, and the steal share at go
+    are recorded in the artifact's quiet_gate list, so a reader can see
     whether a section ran gated-quiet or budget-expired-loaded."""
     t0 = time.time()
     while True:
         load1 = os.getloadavg()[0]
-        if load1 <= QUIET_LOAD1 or (time.time() - t0) >= budget_sec:
+        canary = None
+        quiet = load1 <= QUIET_LOAD1
+        if quiet:
+            canary = _canary_pages_per_cpu_sec()
+            if canary is not None and canary < CANARY_MIN:
+                quiet = False
+        if quiet or (time.time() - t0) >= budget_sec:
             _GATE_LOG.append({
                 "section": label,
                 "waited_sec": round(time.time() - t0, 1),
                 "load1_at_go": round(load1, 2),
-                "quiet": load1 <= QUIET_LOAD1,
+                "canary_pages_per_cpu_sec":
+                    round(canary, 1) if canary else None,
+                "steal_pct": _steal_pct(),
+                "quiet": quiet,
             })
             return
         time.sleep(15)
