@@ -442,7 +442,12 @@ def _realpage_throughput() -> dict | None:
         # real scale the input side is the table scan).
         df = salted_repartition(df, CPUS).persist()
         n = df.count()
-        extract_pages(df.limit(CPUS * 4), num_partitions=CPUS).count()  # warm
+        # Full-input warm-up pass (uncounted): a CPUS*4-page warm-up
+        # leaves enough JIT/codegen/Arrow-path cold that the first
+        # gated trial can read ~4× slow (run-B trial1: 119 vs 522
+        # docs/s in trial2, same quiet window) — burning a gated trial
+        # on warm-up defeats the best-of-3 design.
+        extract_pages(df, repartition=False).count()
 
         # Best-of-3 GATED trials (VERDICT r5 #1): each trial waits —
         # bounded — for a quiet window and records the load1 it
@@ -535,28 +540,49 @@ def _dedup_pipeline() -> dict | None:
         n_in = pages.count()
 
         opts = {"config": {"min_extracted_size": 0, "min_output_size": 0}}
+        # Warm-up (uncounted): Python worker spin-up + whole-plan
+        # codegen — the single-shot section read 54 s in a
+        # canary-quiet window vs 15.4 s measured for the identical
+        # composition in r5; most of the gap is first-execution cost,
+        # which a real long-running job pays once per cluster, not
+        # once per pipeline.
+        extract_pages(pages.limit(CPUS * 4), opts,
+                      num_partitions=CPUS).count()
+
+        def run_once():
+            t0 = time.time()
+            out = extract_pages(pages, opts, repartition=False)
+            # ext feeds line_dedup AND the final strata join — persist
+            # so the Python extraction kernel runs ONCE, not once per
+            # branch (corpus_dedup_pipeline persists its own internal
+            # frames; the input persist is the caller's call).
+            ext = out.where(F.col("reject_reason").isNull()).select(
+                F.col("url").alias("doc_id"),
+                F.col("content_text").alias("text"), "lang").persist()
+            # The SAME composition dedup_job --stage all runs:
+            # line_dedup → substring(k=50, hashed) → gopher → host_cap
+            # (doc_id IS the url in this synthetic corpus) →
+            # stratified sample, persist structure inside the shared
+            # function.
+            final, handles = corpus_dedup_pipeline(
+                ext, url_col="doc_id", k_substring=50, max_per_host=50,
+                sample_fraction=0.5, strata_col="lang")
+            n = final.count()
+            dt = time.time() - t0
+            ext.unpersist()
+            for h in handles:
+                h.unpersist()
+            return dt, n
+
         load1_at_go = os.getloadavg()[0]
-        t0 = time.time()
-        out = extract_pages(pages, opts, repartition=False)
-        # ext feeds line_dedup AND the final strata join — persist so
-        # the Python extraction kernel runs ONCE, not once per branch
-        # (corpus_dedup_pipeline persists its own internal frames; the
-        # input persist is the caller's call — see its docstring).
-        ext = out.where(F.col("reject_reason").isNull()).select(
-            F.col("url").alias("doc_id"),
-            F.col("content_text").alias("text"), "lang").persist()
-        # The SAME composition dedup_job --stage all runs: line_dedup →
-        # substring(k=50, hashed) → gopher → host_cap (doc_id IS the
-        # url in this synthetic corpus) → stratified sample, with the
-        # measured-in-r5 persist structure inside the shared function.
-        final, handles = corpus_dedup_pipeline(
-            ext, url_col="doc_id", k_substring=50, max_per_host=50,
-            sample_fraction=0.5, strata_col="lang")
-        n_out = final.count()
-        dt = time.time() - t0
-        ext.unpersist()
-        for h in handles:
-            h.unpersist()
+        # Best-of-2 (second pass deadline-permitting): one mid-section
+        # co-tenant burst cannot set this headline either.
+        dt, n_out = run_once()
+        pipe_trials = [round(dt, 3)]
+        if (time.time() - _T_START) + dt <= DEADLINE_SEC:
+            dt2, _ = run_once()
+            pipe_trials.append(round(dt2, 3))
+            dt = min(dt, dt2)
         # Window-immune co-metric for the extraction stage (the
         # dominant Python cost of the composed run; the dedup/quality
         # stages are JVM-side Catalyst plans): summed worker
@@ -566,6 +592,7 @@ def _dedup_pipeline() -> dict | None:
         cpu_sec = _kernel_cpu_sec(pages, opts, CPUS)
         return {"docs_in": n_in, "docs_out": n_out, "sec": round(dt, 3),
                 "docs_per_sec": round(n_in / dt, 1),
+                "trials_sec": pipe_trials,
                 "load1_at_go": round(load1_at_go, 2),
                 "extract_kernel_cpu_sec": round(cpu_sec, 3),
                 "extract_cpu_equiv_docs_per_sec":
@@ -592,14 +619,26 @@ def _time_queries() -> dict:
         "line_dedup",
     )
     qs = entrymod.queries()
-    for name in wanted:
+
+    def run_once(name):
         t0 = time.time()
         try:
             qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
         except Exception:
             # noop writer unavailable → fall back to count
             qs[name](spark, SF_DIR).count()
-        timings[name] = round(time.time() - t0, 3)
+        return time.time() - t0
+
+    # Best-of-2 per query: single-shot timings scatter 2-4× under
+    # co-tenant bursts that hit mid-section after the gate passed
+    # (simhash read 1.87 s in r5, 2.44 s in run A, 7.24 s in run B's
+    # QUIETER window — pure burst noise). The second pass also absorbs
+    # first-execution codegen for each plan shape.
+    for name in wanted:
+        t = run_once(name)
+        if (time.time() - _T_START) + t <= DEADLINE_SEC:
+            t = min(t, run_once(name))
+        timings[name] = round(t, 3)
     spark.stop()
     return timings
 
@@ -710,8 +749,11 @@ def main() -> None:
 
     if _deadline_ok("pair_4_to_16", est_sec=240):
         _wait_for_quiet(180, "pair_4_to_16")
+        # 2 trials: this pair is a labeled saturation DIAGNOSTIC now —
+        # a third trial chasing ≥0.8 spent ~5 min that repeatedly
+        # pushed the no-Spark control section past the deadline.
         trials_416, trials_416_cpu, best416, load1_416 = paired_trials(
-            4, 16, TARGET_DOCS, 3, "pair_4_to_16")
+            4, 16, TARGET_DOCS, 2, "pair_4_to_16")
         scaling.update({
             "efficiency_4_to_16": max(trials_416),
             "efficiency_4_to_16_trials": trials_416,
