@@ -791,7 +791,11 @@ def main() -> None:
     # saturates at the same ~0.75), so it runs last — losing it to the
     # deadline costs a diagnostic, not the qualifying evidence.
     if _deadline_ok("pair_8_to_32", est_sec=360):
-        _wait_for_quiet(60, "pair_8_to_32")
+        # 180 s: a 60 s budget expired against the still-decaying load
+        # of our OWN preceding section in both gated runs (load1 has a
+        # ~1-min time constant; the queries/pipeline sections end hot),
+        # so the diagnostic kept starting loaded for no external reason.
+        _wait_for_quiet(180, "pair_8_to_32")
         trials, trials_cpu_832, best_832, load1_832 = paired_trials(
             8, CPUS, pair_hi_docs, 2, "pair_8_to_32")
         _eff, low_b, high = best_832
