@@ -790,6 +790,26 @@ def main() -> None:
     # single socket's memory-bandwidth ceiling by design (the control
     # saturates at the same ~0.75), so it runs last — losing it to the
     # deadline costs a diagnostic, not the qualifying evidence.
+    # Control BEFORE the 8→32 pair: it is the cheaper half (~2 min vs
+    # ~6) and the half that makes the pair interpretable — without it
+    # a low 8→32 reads as a plan defect instead of the host ceiling.
+    # It was deadline-skipped in 3 of 4 round-6 runs when it ran last.
+    if _deadline_ok("control", est_sec=150):
+        # No-Spark control at the same two parallelism levels:
+        # attests that the 8→32 ceiling is shared-host memory
+        # bandwidth (no JVM, no shuffle, no Arrow — just Python
+        # processes on the same kernel), machine-checkable instead
+        # of narrated in BASELINE.md.
+        _wait_for_quiet(120, "control")
+        c8 = _run_control(8, pair_lo_docs)
+        chi = _run_control(CPUS, pair_lo_docs)
+        control_eff = (chi["docs_per_sec"] / c8["docs_per_sec"]) / (CPUS / 8)
+        scaling.update({
+            "control_8_docs_per_sec": round(c8["docs_per_sec"], 1),
+            f"control_{CPUS}_docs_per_sec": round(chi["docs_per_sec"], 1),
+            "control_8_to_32": round(control_eff, 3),
+        })
+
     if _deadline_ok("pair_8_to_32", est_sec=360):
         # 180 s: a 60 s budget expired against the still-decaying load
         # of our OWN preceding section in both gated runs (load1 has a
@@ -814,20 +834,6 @@ def main() -> None:
             "value_source":
                 f"pair_8_to_32_local{CPUS}_{high['docs']}docs",
         })
-        if _deadline_ok("control", est_sec=150):
-            # No-Spark control at the same two parallelism levels:
-            # attests that the 8→32 ceiling is shared-host memory
-            # bandwidth (no JVM, no shuffle, no Arrow — just Python
-            # processes on the same kernel), machine-checkable instead
-            # of narrated in BASELINE.md.
-            c8 = _run_control(8, pair_lo_docs)
-            chi = _run_control(CPUS, pair_lo_docs)
-            control_eff = (chi["docs_per_sec"] / c8["docs_per_sec"]) / (CPUS / 8)
-            scaling.update({
-                "control_8_docs_per_sec": round(c8["docs_per_sec"], 1),
-                f"control_{CPUS}_docs_per_sec": round(chi["docs_per_sec"], 1),
-                "control_8_to_32": round(control_eff, 3),
-            })
 
     _emit()
 
