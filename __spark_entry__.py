@@ -122,18 +122,30 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _docs(spark, sf_dir):
-    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    """Documents input with the scale-adaptive scan fan-out (guide
+    §2.4/§6): the sf documents table is one small single-row-group
+    parquet file, so without this every per-doc query's map stage runs
+    on the 1-2 scan splits regardless of core count; at real scale the
+    size guard makes it a no-op (see textops.fanout_small_scan)."""
+    return textops.fanout_small_scan(
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet")))
 
 
 def _emb(spark, sf_dir):
-    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return textops.fanout_small_scan(
+        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")),
+        key_col="vec_id")
 
 
 def q_extract_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end extraction correctness on driver data: content text and
     title of every synthesized page, byte-compared against a pure-SQL
     prediction."""
-    out = extract_pages(synth_pages(spark, sf_dir), options=_SYNTH_OPTS, num_partitions=8)
+    # num_partitions=None → salted_repartition sizes the kernel stage
+    # from spark.sql.shuffle.partitions (32 in the bench session)
+    # instead of a constant 8 that left 3/4 of a local[32] host idle
+    # (guide §2: scale-adaptive partitioning, not a constant).
+    out = extract_pages(synth_pages(spark, sf_dir), options=_SYNTH_OPTS)
     return out.where(F.col("reject_reason").isNull()).select(
         "url", "content_text", "title"
     )
@@ -305,7 +317,9 @@ def q_line_dedup(spark, sf_dir):
     set is broadcast (Zipf-tiny), so the removal pass never shuffles
     the corpus body."""
     _ensure_fixtures()
-    golden = spark.read.parquet(GOLDEN_PARQUET).select("url", "content_text")
+    golden = textops.fanout_small_scan(
+        spark.read.parquet(GOLDEN_PARQUET).select("url", "content_text"),
+        key_col="url")
     return textops.line_dedup(
         golden, text_col="content_text", id_col="url", min_docs=2
     ).select(
@@ -505,7 +519,9 @@ def q_extract_spans(spark, sf_dir):
 
 
 def _events(spark, sf_dir):
-    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return textops.fanout_small_scan(
+        spark.read.parquet(os.path.join(sf_dir, "events.parquet")),
+        key_col="event_id")
 
 
 def q_events_windowed(spark, sf_dir):

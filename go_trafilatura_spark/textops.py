@@ -48,6 +48,54 @@ def tokens_col(text_col: str = "text"):
     return F.split(F.trim(F.col(text_col)), r"\s+")
 
 
+# Fan-out guard: only repartition inputs the optimizer estimates below
+# this many bytes (a scan that small cannot produce enough splits to
+# feed the session's cores; a scan above it already fans out and the
+# extra exchange would be pure cost).
+_FANOUT_MAX_BYTES = 1 << 30
+
+
+def _estimated_plan_bytes(df: DataFrame) -> int | None:
+    try:
+        raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        # py4j hands small BigIntegers back as Python ints; huge ones
+        # (Spark's 8 EiB "unknown" default) stay JavaObjects
+        return int(raw.toString()) if hasattr(raw, "toString") else int(raw)
+    except Exception:
+        return None
+
+
+def fanout_small_scan(df: DataFrame, key_col: str = "doc_id",
+                      min_partitions: int | None = None) -> DataFrame:
+    """Scale-adaptive scan fan-out (optimization guide §2.4/§6): a small
+    parquet input — one file, one row group — scans as 1-2 splits, so
+    every projection / explode / map-side partial aggregation UPSTREAM
+    of the first exchange runs on 1-2 cores no matter how many the
+    session has (measured: the whole per-doc query suite ran 2-way
+    parallel on local[32]). When the optimizer's size estimate says the
+    input is small (< 1 GB) AND the scan produced fewer partitions than
+    ``min_partitions`` (default: defaultParallelism), hash-repartition
+    on the uniform row key so the compute stage uses every core. At
+    real scale the estimate exceeds the threshold (or the stats are
+    unknown → assumed huge) and the input is returned UNCHANGED — no
+    exchange is ever added to a 100 TB scan."""
+    spark = df.sparkSession
+    if min_partitions is None:
+        try:
+            min_partitions = spark.sparkContext.defaultParallelism
+        except Exception:
+            return df
+    size = _estimated_plan_bytes(df)
+    if size is None or size > _FANOUT_MAX_BYTES:
+        return df
+    try:
+        if df.rdd.getNumPartitions() >= min_partitions:
+            return df
+    except Exception:
+        return df
+    return df.repartition(min_partitions, F.col(key_col))
+
+
 def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("tokens", tokens_col(text_col))
 
@@ -1099,43 +1147,64 @@ def substring_dedup_spans(df: DataFrame, k: int = 8,
     gopher_repetition op's job, so the duplication test here is
     cross-document (count(distinct doc_id) >= 2).
 
-    Scale shape (100 TB): posexplode -> ONE groupBy on the shingle
+    Scale shape (100 TB): posexplode -> ONE shuffle on the shingle
     (uniform key; natural-text shingle frequency is Zipf-light at
-    k >= 8 because a hot shingle must repeat k consecutive tokens) ->
-    shuffle join back on the shingle -> per-doc window (shuffle on
-    doc_id). No collect, no quadratic pair set: the join returns one
-    row per flagged WINDOW, never per document pair.
+    k >= 8 because a hot shingle must repeat k consecutive tokens) for
+    the cross-document window test -> per-doc window (shuffle on
+    doc_id, flagged windows only). No collect, no quadratic pair set:
+    the window test flags one row per WINDOW, never per document pair.
 
-    ``hash_shingles=True`` is the PRODUCTION path: both sides of the
-    groupBy/join carry xxhash64(shingle) (8 bytes) instead of the
-    k-token shingle string — at k≈50 (the paper's setting) the string
-    is hundreds of bytes and dominates the shuffle, so the hash slims
-    it by ~50×. A 64-bit collision flags one spurious window pair per
-    ~2^32 distinct shingles per bucket pairing — at most it merges one
-    extra window into a span (same class of substitution line_dedup
-    documents for its md5 keys). The string path (default) exists so
-    the DuckDB oracle reproduces the grouping byte-exactly; both paths
-    produce identical spans on collision-free inputs (pinned by
-    test_substring_dedup_hashed_parity). The plan shape is invariant
-    to both the flag and k. All outputs are integers — hash-exact vs
-    the oracle (no float summation-order risk).
+    ``hash_shingles=True`` is the PRODUCTION path: the grouping key is
+    an 8-byte hash instead of the k-token shingle string — at k≈50
+    (the paper's setting) the string is hundreds of bytes and dominates
+    the shuffle, so the hash slims it by ~50×. The key is
+    xxhash64(slice(token_hashes, i, k)) — each token is hashed ONCE per
+    document and every window hashes the k-long slice of that array, so
+    no k-token string is ever concatenated (measured 1.8× cheaper on
+    the map side than hashing the concatenated string at k=50; shingle
+    equality ⟺ token-slice equality modulo 64-bit collisions). A
+    collision flags one spurious window pair per ~2^32 distinct
+    shingles per bucket pairing — at most it merges one extra window
+    into a span (same class of substitution line_dedup documents for
+    its md5 keys). The string path (default) exists so the DuckDB
+    oracle reproduces the grouping byte-exactly; both paths produce
+    identical spans on collision-free inputs (pinned by
+    test_substring_dedup_hashed_parity). All outputs are integers —
+    hash-exact vs the oracle (no float summation-order risk).
+
+    Round-7 plan shape (optimization guide §2.4 — remove shuffles
+    outright): the shingles explode ONCE and the cross-document test is
+    a window aggregate over the shingle partition (min(doc_id) ≠
+    max(doc_id) ⟺ count_distinct(doc_id) ≥ 2), replacing the previous
+    groupBy(count_distinct) + join-back — which exploded the corpus
+    TWICE and shuffled it twice at scale (the dup-set join is a
+    broadcast only while the dup set fits). One exchange carries the
+    exploded shingles, one carries only the flagged windows.
     """
     from pyspark.sql import Window
 
     toks = with_tokens(df)
-    sh = toks.select(
-        "doc_id", F.posexplode(shingles_expr(k)).alias("pos", "shingle")
-    )
     if hash_shingles:
-        sh = sh.select("doc_id", "pos", F.xxhash64("shingle").alias("shingle"))
-    dup = (
-        sh.groupBy("shingle")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .where(F.col("nd") >= 2)
-        .select("shingle")
-    )
-    flagged = sh.join(dup, "shingle").select(
-        "doc_id", "pos", (F.col("pos") + F.lit(k - 1)).alias("end")
+        sh_hashes = F.expr(
+            f"""CASE WHEN size(th) >= {k} THEN
+                  transform(sequence(1, size(th) - {k - 1}),
+                            i -> xxhash64(slice(th, i, {k})))
+                ELSE array() END"""
+        )
+        sh = (
+            toks.withColumn("th", F.expr("transform(tokens, x -> xxhash64(x))"))
+            .select("doc_id", F.posexplode(sh_hashes).alias("pos", "shingle"))
+        )
+    else:
+        sh = toks.select(
+            "doc_id", F.posexplode(shingles_expr(k)).alias("pos", "shingle")
+        )
+    w_sh = Window.partitionBy("shingle")
+    flagged = (
+        sh.withColumn("_d0", F.min("doc_id").over(w_sh))
+        .withColumn("_d1", F.max("doc_id").over(w_sh))
+        .where(F.col("_d0") != F.col("_d1"))
+        .select("doc_id", "pos", (F.col("pos") + F.lit(k - 1)).alias("end"))
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
     prev_end = F.max("end").over(w.rowsBetween(Window.unboundedPreceding, -1))
