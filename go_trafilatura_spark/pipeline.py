@@ -461,6 +461,10 @@ def corpus_dedup_pipeline(
 
     - ``deduped`` (line-level dedup output) feeds the substring filter,
       the gopher filter, and the kept-join — persisted.
+    - ``gq`` (the gopher decision frame, two short columns per doc) is
+      persisted BEFORE its keep-filter as an optimizer barrier — see
+      the inline comment (filter pushdown otherwise re-inlines the
+      repetition metric trees into the predicate, measured 10×).
     - ``kept`` (both quality semi-joins applied) feeds the host_cap
       input and the final join, and its lineage contains the
       substring-dedup shingle join — persisted.
@@ -484,8 +488,20 @@ def corpus_dedup_pipeline(
     ss_keep = (textops.substring_dedup_filter(
                    deduped, k=k_substring, hash_shingles=True)
                .where(F.col("keep") == 1).select("doc_id"))
-    gq_keep = (textops.gopher_quality_filter(deduped)
-               .where(F.col("keep")).select("doc_id"))
+    # The gopher decision frame is PERSISTED before its keep-filter:
+    # filtering directly on the computed ``keep`` column lets Catalyst
+    # push the predicate through the projection, inlining the (higher-
+    # order, interpreted, no-subexpression-elimination) repetition
+    # metric trees into the filter condition several times over —
+    # measured 10.7 s vs 1.0 s for the same frame at sf-bench scale
+    # (round 7; the expression-level flavor of the optimization guide's
+    # §4.4 duplicated-UDF trap). The cache is two short columns per doc
+    # and is released with the other handles. substring's keep-filter
+    # needs no barrier: its lineage ends in aggregations, which block
+    # predicate pushdown into the metric computation.
+    gq = (textops.gopher_quality_filter(deduped)
+          .select("doc_id", "keep").persist())
+    gq_keep = gq.where(F.col("keep")).select("doc_id")
     kept = (deduped.join(ss_keep, "doc_id", "left_semi")
             .join(gq_keep, "doc_id", "left_semi")).persist()
 
@@ -509,4 +525,4 @@ def corpus_dedup_pipeline(
     final = textops.stratified_sample(
         capped_kept.join(ext.select("doc_id", strata_col), "doc_id"),
         strata_col=strata_col, fraction=sample_fraction)
-    return final, [deduped, kept]
+    return final, [deduped, gq, kept]

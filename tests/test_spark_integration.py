@@ -1475,9 +1475,11 @@ def test_corpus_dedup_pipeline_function(spark):
     # host h0 has d00,d03,d06,d09 → keep d00,d03; h1 → d01,d04; h2 → d02,d05
     assert got == {"doc00", "doc03", "doc01", "doc04", "doc02", "doc05"}
     # the persist structure is part of the contract (the measured r5
-    # composition lesson): both internal frames come back persisted
-    # for the caller to release
-    assert len(handles) == 2
+    # composition lesson, plus the round-7 gopher decision barrier —
+    # filter pushdown otherwise re-inlines the metric trees): deduped,
+    # the gopher decision frame, and kept come back persisted for the
+    # caller to release
+    assert len(handles) == 3
     for h in handles:
         assert h.is_cached
         h.unpersist()
