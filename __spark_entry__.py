@@ -132,9 +132,10 @@ def _docs(spark, sf_dir):
 
 
 def _emb(spark, sf_dir):
-    return textops.fanout_small_scan(
-        spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")),
-        key_col="vec_id")
+    # No fan-out: the embedding queries broadcast-join and top-k over a
+    # few thousand short rows — measured, the extra exchange costs more
+    # than the extra cores buy (0.45 s vs 0.48/0.52 s).
+    return spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
 
 
 def q_extract_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -316,10 +317,11 @@ def q_line_dedup(spark, sf_dir):
     are rebuilt from the survivors in original order. The frequent-line
     set is broadcast (Zipf-tiny), so the removal pass never shuffles
     the corpus body."""
+    # No fan-out on the 800-row fixture corpus: line_dedup's map side
+    # is one split+posexplode and its aggregations shuffle right away —
+    # measured 0.93 s plain vs 1.27 s with the extra exchange.
     _ensure_fixtures()
-    golden = textops.fanout_small_scan(
-        spark.read.parquet(GOLDEN_PARQUET).select("url", "content_text"),
-        key_col="url")
+    golden = spark.read.parquet(GOLDEN_PARQUET).select("url", "content_text")
     return textops.line_dedup(
         golden, text_col="content_text", id_col="url", min_docs=2
     ).select(
@@ -519,9 +521,11 @@ def q_extract_spans(spark, sf_dir):
 
 
 def _events(spark, sf_dir):
-    return textops.fanout_small_scan(
-        spark.read.parquet(os.path.join(sf_dir, "events.parquet")),
-        key_col="event_id")
+    # No fan-out: the events queries shuffle by their own keys (window
+    # start / user_id) in their first stage anyway — measured, a
+    # fan-out exchange in front of that is pure cost (0.41 s vs 0.73 s
+    # windowed, 0.45 s vs 0.89 s sessionized).
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
 
 
 def q_events_windowed(spark, sf_dir):

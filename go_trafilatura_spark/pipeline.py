@@ -115,7 +115,8 @@ def salted_host_agg(pages: DataFrame,
 
 
 def host_cap(pages: DataFrame, max_per_host: int = 3,
-             salt_buckets: int = SALT_BUCKETS) -> DataFrame:
+             salt_buckets: int = SALT_BUCKETS,
+             id_col: str | None = None) -> DataFrame:
     """Per-host document cap (the crawl-pipeline step limiting any one
     site's share of the corpus): keep the lexicographically-first
     ``max_per_host`` urls of every host.
@@ -136,23 +137,32 @@ def host_cap(pages: DataFrame, max_per_host: int = 3,
     array before slicing, an OOM at Zipf-host scale; pinned by
     test_host_cap_hot_host_bounded_state).
 
-    Output: (host, url) for the kept documents."""
+    Output: (host, url) for the kept documents.
+
+    ``id_col`` (optional) caps at DOCUMENT granularity: rows are ranked
+    by (url, id) and the id is carried through, so several documents
+    sharing one url each count toward the cap and the caller can
+    semi-join on the id instead of the (possibly shared) url — the
+    shared-url over-cap ADVICE r6 flagged in corpus_dedup_pipeline.
+    Default (None) is the original url-granularity behavior."""
     from pyspark.sql import Window
 
     host = F.regexp_extract("url", HOST_REGEX, 1).alias("host")
     salt = F.pmod(F.xxhash64("url"), F.lit(salt_buckets)).cast("int").alias("salt")
-    w1 = Window.partitionBy("host", "salt").orderBy("url")
+    order = ["url", id_col] if id_col else ["url"]
+    keep_cols = ["host", "url"] + ([id_col] if id_col else [])
+    w1 = Window.partitionBy("host", "salt").orderBy(*order)
     stage1 = (
-        pages.select(host, salt, "url")
+        pages.select(host, salt, "url", *([id_col] if id_col else []))
         .withColumn("rn", F.row_number().over(w1))
         .where(F.col("rn") <= max_per_host)
     )
-    w2 = Window.partitionBy("host").orderBy("url")
+    w2 = Window.partitionBy("host").orderBy(*order)
     return (
-        stage1.select("host", "url")
+        stage1.select(*keep_cols)
         .withColumn("rn", F.row_number().over(w2))
         .where(F.col("rn") <= max_per_host)
-        .select("host", "url")
+        .select(*keep_cols)
     )
 
 
@@ -482,6 +492,13 @@ def corpus_dedup_pipeline(
     """
     from . import textops
 
+    # Early input validation (ADVICE r6): a missing strata/url column
+    # otherwise surfaces as a late AnalysisException deep in the plan.
+    for col, flag in ((strata_col, "strata_col"), (url_col, "url_col")):
+        if col is not None and col not in ext.columns:
+            raise ValueError(
+                f"{flag}={col!r} not in input columns {ext.columns}")
+
     ld = textops.line_dedup(ext, text_col="text", id_col="doc_id")
     deduped = ld.where(F.col("n_lines_kept") > 0).select(
         "doc_id", F.col("text_deduped").alias("text")).persist()
@@ -514,13 +531,21 @@ def corpus_dedup_pipeline(
         ).select(F.col("url").alias("doc_id"))
         capped_kept = kept.join(capped, "doc_id", "left_semi")
     else:
-        urls = ext.select("doc_id", F.col(url_col).alias("url"))
-        capped = host_cap(
-            kept.join(urls, "doc_id").select("url"),
-            max_per_host=max_per_host,
-        ).select("url")
-        capped_ids = urls.join(capped, "url", "left_semi").select("doc_id")
-        capped_kept = kept.join(capped_ids, "doc_id", "left_semi")
+        # Document-granularity cap (ADVICE r6): rank (url, doc_id) so
+        # several documents sharing one url each count toward the cap
+        # and the semi-join keys on doc_id, never on a shared url.
+        # Docs with a NULL url cannot be attributed to a host — they
+        # bypass the cap explicitly instead of being silently dropped
+        # by the equi-join.
+        urls = kept.join(
+            ext.select("doc_id", F.col(url_col).alias("url")), "doc_id")
+        capped_ids = host_cap(
+            urls.where(F.col("url").isNotNull()),
+            max_per_host=max_per_host, id_col="doc_id",
+        ).select("doc_id")
+        null_ids = urls.where(F.col("url").isNull()).select("doc_id")
+        capped_kept = kept.join(
+            capped_ids.unionByName(null_ids), "doc_id", "left_semi")
 
     final = textops.stratified_sample(
         capped_kept.join(ext.select("doc_id", strata_col), "doc_id"),

@@ -1485,6 +1485,42 @@ def test_corpus_dedup_pipeline_function(spark):
         h.unpersist()
 
 
+def test_corpus_dedup_pipeline_null_and_shared_urls(spark):
+    """ADVICE r6 fix: (a) docs with a NULL url bypass the host cap
+    instead of being silently dropped by the equi-join; (b) documents
+    sharing one url each count toward the per-host cap (doc-granularity
+    ranking), so a host can never exceed max_per_host documents."""
+    from go_trafilatura_spark.pipeline import corpus_dedup_pipeline
+
+    rows = []
+    for i in range(6):
+        words = [f"word{i}n{j}" for j in range(55)]
+        text = (f"the story of number {i} continues and that chapter "
+                f"will have more with it than before " + " ".join(words))
+        # doc00-03 all share ONE url on h0; doc04 has its own h0 url;
+        # doc05 has a NULL url.
+        if i <= 3:
+            url = "https://h0.example/shared"
+        elif i == 4:
+            url = "https://h0.example/zzz"
+        else:
+            url = None
+        rows.append((f"doc{i:02d}", text, "en", url))
+    ext = spark.createDataFrame(
+        rows, "doc_id string, text string, lang string, url string")
+    final, handles = corpus_dedup_pipeline(
+        ext, url_col="url", k_substring=50, max_per_host=2,
+        sample_fraction=1.0, strata_col="lang")
+    got = {r["doc_id"] for r in final.collect()}
+    for h in handles:
+        h.unpersist()
+    # h0 cap=2 over (url, doc_id): shared/doc00, shared/doc01 win;
+    # doc02/doc03 (same shared url) and zzz/doc04 are capped out —
+    # previously ALL of doc00-03 came back through the shared url.
+    # doc05 (null url) bypasses the cap instead of vanishing.
+    assert got == {"doc00", "doc01", "doc05"}
+
+
 def test_corpus_dedup_pipeline_no_url(spark):
     """url_col=None skips the host cap: every gate-passing doc survives
     into the sample."""
