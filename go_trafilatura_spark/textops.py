@@ -65,8 +65,31 @@ def _estimated_plan_bytes(df: DataFrame) -> int | None:
         return None
 
 
+def scan_bytes(path: str) -> int | None:
+    """Bytes of a parquet file or directory on a local filesystem —
+    lets fanout_small_scan decide WITHOUT compiling the plan twice
+    (the optimizer-stats + rdd probes cost ~80 ms of driver time per
+    query, which is visible at small scale). Returns None for
+    non-local paths (caller falls back to the stats probe)."""
+    import os
+
+    try:
+        if os.path.isfile(path):
+            return os.path.getsize(path)
+        if os.path.isdir(path):
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                total += sum(os.path.getsize(os.path.join(root, f))
+                             for f in files)
+            return total
+    except OSError:
+        pass
+    return None
+
+
 def fanout_small_scan(df: DataFrame, key_col: str = "doc_id",
-                      min_partitions: int | None = None) -> DataFrame:
+                      min_partitions: int | None = None,
+                      input_bytes: int | None = None) -> DataFrame:
     """Scale-adaptive scan fan-out (optimization guide §2.4/§6): a small
     parquet input — one file, one row group — scans as 1-2 splits, so
     every projection / explode / map-side partial aggregation UPSTREAM
@@ -78,13 +101,21 @@ def fanout_small_scan(df: DataFrame, key_col: str = "doc_id",
     on the uniform row key so the compute stage uses every core. At
     real scale the estimate exceeds the threshold (or the stats are
     unknown → assumed huge) and the input is returned UNCHANGED — no
-    exchange is ever added to a 100 TB scan."""
+    exchange is ever added to a 100 TB scan.
+
+    ``input_bytes`` (from ``scan_bytes``) short-circuits both plan
+    probes — the caller already knows the on-disk size, so the decision
+    costs no driver-side plan compilation at all."""
     spark = df.sparkSession
     if min_partitions is None:
         try:
             min_partitions = spark.sparkContext.defaultParallelism
         except Exception:
             return df
+    if input_bytes is not None:
+        if input_bytes > _FANOUT_MAX_BYTES:
+            return df
+        return df.repartition(min_partitions, F.col(key_col))
     size = _estimated_plan_bytes(df)
     if size is None or size > _FANOUT_MAX_BYTES:
         return df
