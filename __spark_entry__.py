@@ -144,11 +144,33 @@ def q_extract_synth(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end extraction correctness on driver data: content text and
     title of every synthesized page, byte-compared against a pure-SQL
     prediction."""
-    # num_partitions=None → salted_repartition sizes the kernel stage
-    # from spark.sql.shuffle.partitions (32 in the bench session)
-    # instead of a constant 8 that left 3/4 of a local[32] host idle
-    # (guide §2: scale-adaptive partitioning, not a constant).
-    out = extract_pages(synth_pages(spark, sf_dir), options=_SYNTH_OPTS)
+    from go_trafilatura_spark.pipeline import salted_repartition
+
+    # Round-7 shape (guide §2.3 "project before the exchange", §2):
+    # repartition the NARROW rows (doc_id, text) first and synthesize
+    # the fat html column AFTER the exchange, so the shuffle carries
+    # text instead of the ~6× larger page bytes and the synthesis
+    # projection runs on every core instead of the 1-2 scan splits.
+    # The kernel stage size follows spark.sql.shuffle.partitions (32 in
+    # the bench session) instead of the old constant 8 that left 3/4 of
+    # a local[32] host idle. Output row set identical (verified 0 diff
+    # rows at 50k docs plus the oracle hash).
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    base = docs.where(F.length(F.trim("text")) > 0).select(
+        F.concat(F.lit("https://synth.local/doc/"), F.col("doc_id")).alias("url"),
+        F.to_timestamp(F.lit("2024-01-01 00:00:00")).alias("warc_ts"),
+        F.col("doc_id"), F.col("text"), F.col("lang"))
+    base = salted_repartition(base)
+    html = F.format_string(
+        '<html><head><title>Doc %s</title></head><body>'
+        '<article class="post-content"><h1>Doc %s</h1><p>%s</p></article>'
+        "</body></html>",
+        F.col("doc_id"), F.col("doc_id"), F.col("text"),
+    )
+    pages = base.select(
+        "url", "warc_ts", F.encode(html, "utf-8").alias("html"),
+        "text", "lang")
+    out = extract_pages(pages, options=_SYNTH_OPTS, repartition=False)
     return out.where(F.col("reject_reason").isNull()).select(
         "url", "content_text", "title"
     )
